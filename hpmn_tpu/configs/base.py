@@ -1,0 +1,156 @@
+"""Config definitions.
+
+Hyperparameter ballparks follow the paper [P §5.1.2]: embedding dim 16 per id
+field (behavior emb = concat(item, cat) = 32), memory/hidden size 32, Adam,
+lr ~1e-3, L2 ~1e-4(amazon)/1e-5(taobao,xlong), HPMN periods giving
+log-compression of T [P §4.2]. Batch sizes are TPU-friendly multiples of 8.
+"""
+
+from __future__ import annotations
+
+import ml_collections
+
+
+def base_config() -> ml_collections.ConfigDict:
+    c = ml_collections.ConfigDict()
+
+    c.seed = 0
+    c.dataset = "amazon"  # amazon | taobao | xlong
+    c.synthetic_task = "ctr"  # ctr | periodic (planted long-range task)
+    c.n_examples = 20000  # synthetic dataset size
+    c.data_dir = ""  # if set, load preprocessed real arrays from here
+
+    c.model = ml_collections.ConfigDict()
+    c.model.name = "hpmn"  # hpmn|gru4rec|dien|rum|dnn|lstm|caser|shan|svdpp
+    c.model.emb_dim = 16  # per id field; behavior emb = 2*emb_dim
+    c.model.mem_dim = 32  # GRU memory/hidden width
+    c.model.dtype = "float32"  # compute dtype for the towers/scan
+    # HPMN hierarchy [P §4.2]: layer l (1-indexed) updates every period**(l-1).
+    c.model.hpmn_layers = 3
+    c.model.hpmn_period = 2
+    c.model.use_hierarchical_scan = True  # fast path; False = masked oracle
+    c.model.use_pallas = False  # fused TPU kernels for GRU scan + readout
+    c.model.readout_dim = 32  # additive-attention hidden size [P §4.3]
+    c.model.tower_hidden = (200, 80)  # PReLU MLP tower [P §4.3]
+    # DIEN
+    c.model.dien_use_aux_loss = True
+    c.model.aux_weight = 1.0
+    # RUM external memory [P §5.1.3]
+    c.model.rum_slots = 8
+    # Caser / SHAN knobs
+    c.model.caser_hfilters = 4
+    c.model.caser_vfilters = 4
+
+    c.loss = ml_collections.ConfigDict()
+    c.loss.cov_weight = 0.1  # HPMN slot-decorrelation [P §4.4]
+    c.loss.l2_weight = 1e-4
+
+    c.train = ml_collections.ConfigDict()
+    c.train.batch_size = 128
+    c.train.lr = 1e-3
+    c.train.max_steps = 2000
+    c.train.eval_every = 200
+    c.train.early_stop_patience = 5  # evals without val-AUC improvement
+    c.train.log_every = 50
+    c.train.ckpt_dir = ""
+    c.train.keep_best_k = 3
+    c.train.profile_steps = 0  # >0: dump a jax.profiler trace of N steps
+    c.train.debug_nans = False
+
+    c.mesh = ml_collections.ConfigDict()
+    c.mesh.data_axis = "data"
+    c.mesh.model_axis = "model"
+    c.mesh.model_parallel = 1  # table-shard count; 1 = no model parallelism
+    c.mesh.embedding_mode = "replicated"  # replicated | psum | a2a (row-sharded)
+
+    c.eval_batch_size = 256
+    return c
+
+
+def _amazon(c):
+    c.dataset = "amazon"
+    c.model.hpmn_layers = 4  # covers T=100 at period 3: 1,3,9,27
+    c.model.hpmn_period = 3
+    c.loss.l2_weight = 1e-4
+    return c
+
+
+def _taobao(c):
+    c.dataset = "taobao"
+    c.model.hpmn_layers = 5  # T=300: periods 1,3,9,27,81
+    c.model.hpmn_period = 3
+    c.loss.l2_weight = 1e-5
+    return c
+
+
+def _xlong(c):
+    c.dataset = "xlong"
+    c.model.hpmn_layers = 6  # T=1000: periods 1,4,16,64,256,1024→cap
+    c.model.hpmn_period = 4
+    c.loss.l2_weight = 1e-5
+    c.train.batch_size = 128
+    return c
+
+
+def amazon_hpmn() -> ml_collections.ConfigDict:
+    """[B:7] HPMN single memory layer, Amazon (T=100, CPU-runnable)."""
+    c = _amazon(base_config())
+    c.model.name = "hpmn"
+    c.model.hpmn_layers = 1
+    return c
+
+
+def taobao_hpmn() -> ml_collections.ConfigDict:
+    """[B:8] HPMN 3-layer periodic memory, Taobao (T=300)."""
+    c = _taobao(base_config())
+    c.model.name = "hpmn"
+    c.model.hpmn_layers = 3
+    return c
+
+
+def xlong_hpmn() -> ml_collections.ConfigDict:
+    """[B:9] HPMN full hierarchy on XLong (T=1000, lifelong modeling)."""
+    c = _xlong(base_config())
+    c.model.name = "hpmn"
+    return c
+
+
+def taobao_dien() -> ml_collections.ConfigDict:
+    """[B:10] DIEN baseline (GRU + AUGRU attention evolution) on Taobao."""
+    c = _taobao(base_config())
+    c.model.name = "dien"
+    return c
+
+
+def amazon_rum() -> ml_collections.ConfigDict:
+    """[B:11] RUM external-memory baseline on Amazon."""
+    c = _amazon(base_config())
+    c.model.name = "rum"
+    return c
+
+
+def amazon_gru4rec() -> ml_collections.ConfigDict:
+    """[B:11] GRU4Rec RNN baseline on Amazon."""
+    c = _amazon(base_config())
+    c.model.name = "gru4rec"
+    return c
+
+
+_CONFIGS = {
+    "amazon_hpmn": amazon_hpmn,
+    "taobao_hpmn": taobao_hpmn,
+    "xlong_hpmn": xlong_hpmn,
+    "taobao_dien": taobao_dien,
+    "amazon_rum": amazon_rum,
+    "amazon_gru4rec": amazon_gru4rec,
+}
+
+
+def list_configs():
+    return sorted(_CONFIGS)
+
+
+def get_config(name: str) -> ml_collections.ConfigDict:
+    if name not in _CONFIGS:
+        raise KeyError(f"unknown config {name!r}; available: {list_configs()}")
+    return _CONFIGS[name]()

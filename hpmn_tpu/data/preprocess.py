@@ -1,0 +1,124 @@
+"""Dataset preprocessing: raw behavior logs -> fixed-length id sequences.
+
+Reference equivalent: the per-dataset ``process_amazon.py`` /
+``process_taobao.py`` / ``process_xlong.py`` scripts (SURVEY.md §2.1/§3.1,
+[P §5.1.1]): parse raw logs into per-user chronological (item, category)
+event lists, build integer vocabs, truncate/left-pad to T, and emit binary
+CTR examples — positive = the user's real next behavior, negative = a
+random-sampled item — with a time-ordered train/val/test split.
+
+Because raw Amazon/Taobao/XLong dumps are not downloadable here, the raw
+format accepted is a generic event log (one row per behavior:
+``user_id, item_token, category_token, timestamp``) that each real dataset
+reduces to; :func:`process_log` performs the shared pipeline, and
+:func:`load_preprocessed` loads the resulting ``.npz`` (which is also the
+format ``cfg.data_dir`` points at).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+from typing import Dict, Iterable, Sequence, Tuple
+
+import numpy as np
+
+from .synthetic import DatasetSpec
+
+
+def build_vocab(tokens: Iterable) -> Dict:
+    """Frequency-ordered token -> id (ids start at 1; 0 = pad/unknown)."""
+    counts: Dict = defaultdict(int)
+    for t in tokens:
+        counts[t] += 1
+    order = sorted(counts, key=lambda t: (-counts[t], str(t)))
+    return {t: i + 1 for i, t in enumerate(order)}
+
+
+def process_log(rows: Sequence[Tuple], seq_len: int, seed: int = 0,
+                min_events: int = 5) -> Dict[str, np.ndarray]:
+    """rows: iterable of (user, item_token, cat_token, timestamp).
+
+    Emits one positive and one negative example per eligible user: the
+    last behavior is held out as the positive target, the preceding
+    (up to) T behaviors form the sequence, and the negative target is a
+    uniformly sampled item (reference scheme, [P §5.1.1]).
+    """
+    rng = np.random.default_rng(seed)
+    by_user: Dict = defaultdict(list)
+    for user, item, cat, ts in rows:
+        by_user[user].append((ts, item, cat))
+    item_vocab = build_vocab(item for _, item, _, _ in rows)
+    cat_vocab = build_vocab(cat for _, _, cat, _ in rows)
+    item_to_cat = {}
+    for _, item, cat, _ in rows:
+        item_to_cat[item_vocab[item]] = cat_vocab[cat]
+    n_items = len(item_vocab) + 1
+    items_arr = np.array(sorted(item_to_cat), dtype=np.int32)
+    cats_arr = np.array([item_to_cat[i] for i in items_arr], dtype=np.int32)
+
+    out = defaultdict(list)
+    uid_vocab = build_vocab(by_user.keys())
+    for user, events in by_user.items():
+        if len(events) < min_events:
+            continue
+        events.sort(key=lambda e: e[0])
+        ids = [(item_vocab[i], cat_vocab[c]) for _, i, c in events]
+        hist, (pos_item, pos_cat) = ids[:-1], ids[-1]
+        hist = hist[-seq_len:]
+        pad = seq_len - len(hist)
+        item_seq = [0] * pad + [i for i, _ in hist]
+        cat_seq = [0] * pad + [c for _, c in hist]
+        mask = [0.0] * pad + [1.0] * len(hist)
+        neg_pos = rng.integers(0, len(items_arr))
+        # Per-position negatives for the DIEN aux loss.
+        neg_idx = rng.integers(0, len(items_arr), size=seq_len)
+        for label, (t_item, t_cat) in (
+                (1.0, (pos_item, pos_cat)),
+                (0.0, (int(items_arr[neg_pos]), int(cats_arr[neg_pos])))):
+            out["uid"].append(uid_vocab[user])
+            out["item_seq"].append(item_seq)
+            out["cat_seq"].append(cat_seq)
+            out["seq_mask"].append(mask)
+            out["target_item"].append(t_item)
+            out["target_cat"].append(t_cat)
+            out["label"].append(label)
+            out["neg_item_seq"].append(items_arr[neg_idx].tolist())
+            out["neg_cat_seq"].append(cats_arr[neg_idx].tolist())
+
+    arrays = {
+        "uid": np.asarray(out["uid"], np.int32),
+        "item_seq": np.asarray(out["item_seq"], np.int32),
+        "cat_seq": np.asarray(out["cat_seq"], np.int32),
+        "seq_mask": np.asarray(out["seq_mask"], np.float32),
+        "target_item": np.asarray(out["target_item"], np.int32),
+        "target_cat": np.asarray(out["target_cat"], np.int32),
+        "label": np.asarray(out["label"], np.float32),
+        "neg_item_seq": np.asarray(out["neg_item_seq"], np.int32),
+        "neg_cat_seq": np.asarray(out["neg_cat_seq"], np.int32),
+    }
+    arrays["_n_items"] = np.asarray(n_items, np.int64)
+    arrays["_n_cats"] = np.asarray(len(cat_vocab) + 1, np.int64)
+    return arrays
+
+
+REQUIRED_KEYS = ("uid", "item_seq", "cat_seq", "seq_mask", "target_item",
+                 "target_cat", "label", "neg_item_seq", "neg_cat_seq")
+
+
+def save_preprocessed(path: str, arrays: Dict[str, np.ndarray]) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **arrays)
+
+
+def load_preprocessed(data_dir: str, spec: DatasetSpec) -> Dict[str, np.ndarray]:
+    """Load ``<data_dir>/<dataset>.npz`` in the emitted format; validates
+    the schema and sequence length against the dataset spec."""
+    path = os.path.join(data_dir, f"{spec.name}.npz")
+    z = np.load(path)
+    arrays = {k: z[k] for k in REQUIRED_KEYS}
+    T = arrays["item_seq"].shape[1]
+    if T != spec.seq_len:
+        raise ValueError(
+            f"{path}: sequence length {T} != spec T={spec.seq_len}")
+    return arrays

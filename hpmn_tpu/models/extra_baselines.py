@@ -1,0 +1,154 @@
+"""The paper's remaining comparison models: DNN, LSTM, Caser, SHAN, SVD++.
+
+Reference equivalent: SURVEY.md §2.1 "Other paper baselines" ([P §5.1.3],
+[B:6-12] — compared in the paper; presence in the code release is
+low-confidence and they are not required by the driver configs, but they
+complete the capability inventory).
+
+All share the unified encoder contract: (params, x [B,T,d], mask [B,T],
+q [B,d]) -> state [B, d_state], consumed by the shared PReLU tower.
+
+- DNN: masked average pooling of behavior embeddings [P §5.1.3].
+- LSTM: standard LSTM scan, final hidden state (hoisted input projections,
+  same TPU decomposition as the GRU in ``ops.gru``).
+- Caser: horizontal (per-window conv + max-over-time) and vertical
+  (weighted-sum over time) convolutional filters on the embedding matrix.
+- SHAN: two-layer hierarchical attention — attention-pool the long-term
+  prefix, then attention over [long-term read ; recent window] — with the
+  target embedding as query.
+- SVD++-style: latent-factor dot product enriched with the pooled implicit
+  feedback; realized here as pooled-behavior state with the dot product
+  delegated to the shared tower (the CTR adaptation of SVD++ used by the
+  paper's comparisons).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .readout import attention_readout, init_readout
+
+
+def _masked_mean(x: jax.Array, mask: jax.Array) -> jax.Array:
+    s = jnp.einsum("btd,bt->bd", x, mask)
+    return s / jnp.maximum(jnp.sum(mask, -1, keepdims=True), 1.0)
+
+
+# ---------------------------------------------------------------- LSTM ----
+
+def _lstm_init(key, d_in, d_m, dtype):
+    k1, k2 = jax.random.split(key)
+    s_x = (6.0 / (d_in + 4 * d_m)) ** 0.5
+    s_h = (6.0 / (d_m + 4 * d_m)) ** 0.5
+    return {
+        "wx": jax.random.uniform(k1, (d_in, 4 * d_m), dtype, -s_x, s_x),
+        "wh": jax.random.uniform(k2, (d_m, 4 * d_m), dtype, -s_h, s_h),
+        "b": jnp.zeros((4 * d_m,), dtype),
+    }
+
+
+def _lstm_seq(p, x, mask):
+    B, T, _ = x.shape
+    d_m = p["wh"].shape[0]
+    xp = x @ p["wx"] + p["b"]
+
+    def step(carry, inputs):
+        h, c = carry
+        xp_t, m_t = inputs
+        g = xp_t + h @ p["wh"]
+        i = jax.nn.sigmoid(g[:, :d_m])
+        f = jax.nn.sigmoid(g[:, d_m:2 * d_m] + 1.0)  # forget bias 1
+        o = jax.nn.sigmoid(g[:, 2 * d_m:3 * d_m])
+        u = jnp.tanh(g[:, 3 * d_m:])
+        c_new = f * c + i * u
+        h_new = o * jnp.tanh(c_new)
+        m = m_t[:, None]
+        return (m * h_new + (1 - m) * h, m * c_new + (1 - m) * c), None
+
+    z = jnp.zeros((B, d_m), x.dtype)
+    (h_T, _), _ = jax.lax.scan(
+        step, (z, z), (jnp.moveaxis(xp, 1, 0), jnp.moveaxis(mask, 1, 0)))
+    return h_T
+
+
+# --------------------------------------------------------------- Caser ----
+
+CASER_WINDOWS = (2, 3, 4)  # horizontal conv window sizes (static)
+
+
+def _caser_init(key, cfg, d_in, dtype):
+    n_h, n_v = cfg.model.caser_hfilters, cfg.model.caser_vfilters
+    keys = jax.random.split(key, len(CASER_WINDOWS) + 1)
+    hor = []
+    for k, w in zip(keys[:-1], CASER_WINDOWS):
+        s = (6.0 / (w * d_in + n_h)) ** 0.5
+        hor.append(jax.random.uniform(k, (w, d_in, n_h), dtype, -s, s))
+    T_max = 1024  # vertical filters are over the (padded) time axis
+    vert = jax.random.normal(keys[-1], (T_max, n_v), dtype) * T_max ** -0.5
+    return {"hor": hor, "vert": vert}
+
+
+def _caser_encode(p, x, mask):
+    B, T, d = x.shape
+    xm = x * mask[:, :, None]
+    outs = []
+    for w_filt, w in zip(p["hor"], CASER_WINDOWS):
+        # conv over time with window w: [B, T-w+1, n_h] then max over time.
+        conv = jax.lax.conv_general_dilated(
+            xm, w_filt, window_strides=(1,), padding="VALID",
+            dimension_numbers=("NTC", "TIO", "NTC"))
+        outs.append(jnp.max(jax.nn.relu(conv), axis=1))
+    vert = jnp.einsum("btd,tn->bnd", xm, p["vert"][:T]).reshape(B, -1)
+    return jnp.concatenate(outs + [vert], axis=-1)
+
+
+# ---------------------------------------------------------------- SHAN ----
+
+def _shan_init(key, cfg, d_in, dtype):
+    k1, k2 = jax.random.split(key)
+    a = cfg.model.readout_dim
+    return {"attn_long": init_readout(k1, d_in, d_in, a, dtype),
+            "attn_hybrid": init_readout(k2, d_in, d_in, a, dtype)}
+
+
+def _shan_encode(p, x, mask, q, recent: int = 10):
+    long_read = attention_readout(p["attn_long"], x, q, slot_mask=mask)
+    recent_x = x[:, -recent:, :]
+    recent_m = mask[:, -recent:]
+    hybrid = jnp.concatenate([long_read[:, None, :], recent_x], axis=1)
+    hmask = jnp.concatenate([jnp.ones_like(recent_m[:, :1]), recent_m], axis=1)
+    return attention_readout(p["attn_hybrid"], hybrid, q, slot_mask=hmask)
+
+
+# ------------------------------------------------------------ dispatch ----
+
+def init_encoder(key: jax.Array, name: str, cfg, d_in: int,
+                 dtype) -> Tuple[Dict, int]:
+    d_m = cfg.model.mem_dim
+    if name == "dnn" or name == "svdpp":
+        return {}, d_in  # pooled embedding is the state
+    if name == "lstm":
+        return _lstm_init(key, d_in, d_m, dtype), d_m
+    if name == "caser":
+        p = _caser_init(key, cfg, d_in, dtype)
+        n_h = cfg.model.caser_hfilters * len(CASER_WINDOWS)
+        return p, n_h + cfg.model.caser_vfilters * d_in
+    if name == "shan":
+        return _shan_init(key, cfg, d_in, dtype), d_in
+    raise ValueError(f"unknown encoder {name!r}")
+
+
+def encode(params: Dict, name: str, cfg, x: jax.Array, mask: jax.Array,
+           q: jax.Array) -> jax.Array:
+    if name == "dnn" or name == "svdpp":
+        return _masked_mean(x, mask)
+    if name == "lstm":
+        return _lstm_seq(params, x, mask)
+    if name == "caser":
+        return _caser_encode(params, x, mask)
+    if name == "shan":
+        return _shan_encode(params, x, mask, q)
+    raise ValueError(f"unknown encoder {name!r}")

@@ -1,0 +1,150 @@
+"""Unified model API: one init/apply pair covering every encoder family.
+
+Reference equivalent: the per-model graph-building classes sharing the
+embedding + tower + loss plumbing (SURVEY.md §1 L2-L4). All models expose:
+
+    params = init_model(key, cfg, n_items, n_cats)
+    logits, aux = apply_model(params, cfg, batch, lookup_fn=..., gru_seq_fn=...)
+    loss, metrics = total_loss(params, cfg, logits, aux, labels)
+
+``lookup_fn`` swaps the dense embedding gather for the row-sharded collective
+lookup; ``gru_seq_fn`` swaps the jnp GRU scan for the fused Pallas kernel.
+Both default to the single-device jnp paths.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..data.schema import Batch
+from . import dien as dien_mod
+from . import gru4rec as gru4rec_mod
+from . import hpmn as hpmn_mod
+from . import rum as rum_mod
+from .embedding import dense_lookup, init_embedding
+from .losses import bce_with_logits, covariance_regularizer, l2_regularizer
+from .readout import attention_readout, init_readout
+from .tower import apply_tower, init_tower
+
+ENCODERS = ("hpmn", "gru4rec", "dien", "rum", "dnn", "lstm", "caser", "shan",
+            "svdpp")
+
+
+def _dtype(cfg):
+    return jnp.dtype(cfg.model.dtype)
+
+
+def init_model(key: jax.Array, cfg, n_items: int, n_cats: int) -> Dict:
+    dtype = _dtype(cfg)
+    name = cfg.model.name
+    d_beh = 2 * cfg.model.emb_dim  # concat(item, cat) behavior embedding
+    d_m = cfg.model.mem_dim
+    ke, kenc, kr, kt = jax.random.split(key, 4)
+    params: Dict = {
+        "embedding": init_embedding(ke, n_items, n_cats, cfg.model.emb_dim,
+                                    dtype),
+    }
+    if name == "hpmn":
+        params["encoder"] = hpmn_mod.init_hpmn(kenc, d_beh, d_m,
+                                               cfg.model.hpmn_layers, dtype)
+        params["readout"] = init_readout(kr, d_m, d_beh,
+                                         cfg.model.readout_dim, dtype)
+        d_state = d_m
+    elif name == "gru4rec":
+        params["encoder"] = gru4rec_mod.init_gru4rec(kenc, d_beh, d_m, dtype)
+        d_state = d_m
+    elif name == "dien":
+        params["encoder"] = dien_mod.init_dien(kenc, d_beh, d_m,
+                                               cfg.model.readout_dim, dtype)
+        d_state = d_m
+    elif name == "rum":
+        params["encoder"] = rum_mod.init_rum(kenc, d_beh, d_m,
+                                             cfg.model.rum_slots, dtype)
+        d_state = d_m
+    else:
+        from . import extra_baselines
+        params["encoder"], d_state = extra_baselines.init_encoder(
+            kenc, name, cfg, d_beh, dtype)
+    params["tower"] = init_tower(kt, d_beh + d_state, cfg.model.tower_hidden,
+                                 dtype)
+    return params
+
+
+def apply_model(params: Dict, cfg, batch: Batch,
+                lookup_fn: Optional[Callable] = None,
+                gru_seq_fn: Optional[Callable] = None,
+                ) -> Tuple[jax.Array, Dict]:
+    """-> (logits [B], aux dict: may contain "memory" (HPMN slots for the
+    covariance regularizer) and "aux_loss" (DIEN))."""
+    if lookup_fn is None:
+        lookup_fn = dense_lookup
+    name = cfg.model.name
+    emb = params["embedding"]
+    x = lookup_fn(emb, batch.item_seq, batch.cat_seq)  # [B, T, 2d]
+    q = lookup_fn(emb, batch.target_item, batch.target_cat)  # [B, 2d]
+    mask = batch.seq_mask.astype(x.dtype)
+    aux: Dict = {}
+
+    if name == "hpmn":
+        if cfg.model.use_hierarchical_scan:
+            memory = hpmn_mod.encode_hierarchical(
+                params["encoder"], x, mask, cfg.model.hpmn_period,
+                gru_seq_fn=gru_seq_fn)
+        else:
+            memory = hpmn_mod.encode_oracle(params["encoder"], x, mask,
+                                            cfg.model.hpmn_period)
+        aux["memory"] = memory
+        state = attention_readout(params["readout"], memory, q)
+    elif name == "gru4rec":
+        state = gru4rec_mod.encode(params["encoder"], x, mask,
+                                   gru_seq_fn=gru_seq_fn)
+    elif name == "dien":
+        x_neg = lookup_fn(emb, batch.neg_item_seq, batch.neg_cat_seq)
+        state, aux_loss = dien_mod.encode(
+            params["encoder"], x, mask, q, x_neg=x_neg,
+            use_aux_loss=cfg.model.dien_use_aux_loss, gru_seq_fn=gru_seq_fn)
+        aux["aux_loss"] = aux_loss
+    elif name == "rum":
+        state = rum_mod.encode(params["encoder"], x, mask, q)
+    else:
+        from . import extra_baselines
+        state = extra_baselines.encode(params["encoder"], name, cfg, x, mask, q)
+
+    logits = apply_tower(params["tower"], jnp.concatenate([q, state], -1))
+    return logits, aux
+
+
+def total_loss(params: Dict, cfg, logits: jax.Array, aux: Dict,
+               labels: jax.Array) -> Tuple[jax.Array, Dict]:
+    """BCE + lambda_cov * cov_reg (HPMN, [P §4.4]) + aux loss (DIEN)
+    + lambda_L2 * ||theta||^2 (SURVEY.md §3.3)."""
+    bce = bce_with_logits(logits, labels)
+    loss = bce
+    metrics = {"bce": bce}
+    if "memory" in aux and cfg.loss.cov_weight > 0:
+        cov = covariance_regularizer(aux["memory"])
+        loss = loss + cfg.loss.cov_weight * cov
+        metrics["cov_reg"] = cov
+    if "aux_loss" in aux and cfg.model.aux_weight > 0:
+        loss = loss + cfg.model.aux_weight * aux["aux_loss"]
+        metrics["aux_loss"] = aux["aux_loss"]
+    if cfg.loss.l2_weight > 0:
+        l2 = l2_regularizer(params)
+        loss = loss + cfg.loss.l2_weight * l2
+        metrics["l2"] = l2
+    metrics["loss"] = loss
+    return loss, metrics
+
+
+def loss_fn(params: Dict, cfg, batch: Batch,
+            lookup_fn: Optional[Callable] = None,
+            gru_seq_fn: Optional[Callable] = None) -> Tuple[jax.Array, Dict]:
+    """Single callable for value_and_grad."""
+    logits, aux = apply_model(params, cfg, batch, lookup_fn, gru_seq_fn)
+    loss, metrics = total_loss(params, cfg, logits, aux,
+                               batch.label.astype(logits.dtype))
+    metrics["logits"] = logits
+    return loss, metrics

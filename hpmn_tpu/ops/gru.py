@@ -1,0 +1,127 @@
+"""GRU / AUGRU cells and scan drivers — the pure-jnp reference semantics.
+
+Reference equivalent: TF-1.x ``GRUCell`` + ``dynamic_rnn`` (SURVEY.md §2.2).
+TPU-native redesign decisions (deliberate, not a translation):
+
+1. **Input projections are hoisted out of the recurrence.** For the whole
+   sequence, ``xp = x @ Wx + b`` is one ``[B*T, d_in] x [d_in, 3*d_m]``
+   matmul that XLA tiles onto the MXU at full utilization; the scan then only
+   carries the recurrent ``h @ Wh`` matmul (cuDNN-style decomposition).
+
+2. **"Linear before reset" candidate** (cuDNN/PyTorch GRU variant): the
+   recurrent contribution of all three gates is ONE ``[d_m, 3*d_m]`` matmul
+   per step, with the reset gate applied after:
+
+       g = h @ Wh                       (one MXU matmul)
+       r = sigmoid(xp_r + g_r)
+       z = sigmoid(xp_z + g_z)
+       c = tanh(xp_c + r * g_c)
+       h' = (1 - z) * h + z * c
+
+   TF-1.x's GRUCell multiplies ``r*h`` *before* the candidate matmul, which
+   forces two dependent matmuls per step. The variants are equivalent in
+   expressive power; this repo uses the fused form everywhere (oracle, fast
+   path, and Pallas kernels) so all paths agree bitwise-ish.
+
+3. **Masked steps are identity carries** (left-padded sequences,
+   ``hpmn_tpu.data.schema``).
+
+AUGRU (DIEN's attention-gated GRU, [P §5.1.3], [B:10]) reuses the same cell
+with the update gate scaled by a per-step attention score:
+``z' = a_t * z``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GRUParams(NamedTuple):
+    wx: jax.Array  # [d_in, 3*d_m]   input weights (r, z, c blocks)
+    wh: jax.Array  # [d_m, 3*d_m]    recurrent weights (r, z, c blocks)
+    b: jax.Array  # [3*d_m]          input-side bias
+
+
+def gru_init(key: jax.Array, d_in: int, d_m: int,
+             dtype=jnp.float32) -> GRUParams:
+    """Glorot-uniform init, biases zero (reset/update biases at 0 puts the
+    gates at 0.5, the common CTR-model default)."""
+    k1, k2 = jax.random.split(key)
+    s_x = (6.0 / (d_in + 3 * d_m)) ** 0.5
+    s_h = (6.0 / (d_m + 3 * d_m)) ** 0.5
+    return GRUParams(
+        wx=jax.random.uniform(k1, (d_in, 3 * d_m), dtype, -s_x, s_x),
+        wh=jax.random.uniform(k2, (d_m, 3 * d_m), dtype, -s_h, s_h),
+        b=jnp.zeros((3 * d_m,), dtype),
+    )
+
+
+def gru_input_proj(params: GRUParams, x: jax.Array) -> jax.Array:
+    """Hoisted input projection: x [..., d_in] -> xp [..., 3*d_m]."""
+    return x @ params.wx + params.b
+
+
+def gru_cell(params: GRUParams, xp: jax.Array, h: jax.Array,
+             gate_scale: Optional[jax.Array] = None) -> jax.Array:
+    """One recurrent step from the precomputed input projection.
+
+    xp: [B, 3*d_m]; h: [B, d_m]; gate_scale: optional [B] or [B, 1] AUGRU
+    attention scale on the update gate.
+    """
+    d_m = h.shape[-1]
+    g = h @ params.wh  # [B, 3*d_m] — the single per-step MXU matmul
+    r = jax.nn.sigmoid(xp[..., :d_m] + g[..., :d_m])
+    z = jax.nn.sigmoid(xp[..., d_m:2 * d_m] + g[..., d_m:2 * d_m])
+    c = jnp.tanh(xp[..., 2 * d_m:] + r * g[..., 2 * d_m:])
+    if gate_scale is not None:
+        z = z * gate_scale.reshape(z.shape[0], *([1] * (z.ndim - 1)))
+    return (1.0 - z) * h + z * c
+
+
+def gru_step(params: GRUParams, xp_t: jax.Array, h: jax.Array,
+             mask_t: Optional[jax.Array] = None,
+             gate_scale_t: Optional[jax.Array] = None) -> jax.Array:
+    """gru_cell + identity carry on masked (padding) steps."""
+    h_new = gru_cell(params, xp_t, h, gate_scale_t)
+    if mask_t is None:
+        return h_new
+    m = mask_t.reshape(h.shape[0], *([1] * (h.ndim - 1)))
+    return m * h_new + (1.0 - m) * h
+
+
+def gru_sequence(params: GRUParams, x: jax.Array,
+                 h0: Optional[jax.Array] = None,
+                 mask: Optional[jax.Array] = None,
+                 gate_scale: Optional[jax.Array] = None,
+                 ) -> Tuple[jax.Array, jax.Array]:
+    """Scan a GRU over x [B, T, d_in]. Returns (h_seq [B, T, d_m], h_T).
+
+    mask: [B, T] 1.0 at valid steps; gate_scale: [B, T] AUGRU attention.
+    This is the jnp oracle the Pallas kernel is tested against.
+    """
+    B, T, _ = x.shape
+    d_m = params.wh.shape[0]
+    if h0 is None:
+        h0 = jnp.zeros((B, d_m), x.dtype)
+    xp = gru_input_proj(params, x)  # [B, T, 3*d_m], one big matmul
+
+    def step(h, inputs):
+        xp_t, m_t, a_t = inputs
+        h = gru_step(params, xp_t, h, m_t, a_t)
+        return h, h
+
+    xs = (
+        jnp.moveaxis(xp, 1, 0),
+        None if mask is None else jnp.moveaxis(mask, 1, 0),
+        None if gate_scale is None else jnp.moveaxis(gate_scale, 1, 0),
+    )
+    # lax.scan needs uniform pytrees; replace Nones with broadcast ones.
+    if xs[1] is None:
+        xs = (xs[0], jnp.ones((T, B), x.dtype), xs[2])
+    if xs[2] is None:
+        xs = (xs[0], xs[1], jnp.ones((T, B), x.dtype))
+    h_T, h_seq = jax.lax.scan(step, h0, xs)
+    return jnp.moveaxis(h_seq, 0, 1), h_T

@@ -1,0 +1,92 @@
+"""Checkpoint/resume via orbax.
+
+Reference equivalent: ``tf.train.Saver`` best-val-AUC snapshots
+(SURVEY.md §2.1 "Checkpointing", §5.4). TPU-idiomatic extensions:
+
+- saves params + optimizer state + step + the data-iterator position, so a
+  preempted run resumes exactly (auto-resume-from-latest on restart =
+  preemption tolerance, SURVEY.md §5.3);
+- keeps best-k by val AUC via orbax's ``best_fn`` mode;
+- the per-user HPMN memory store (serving state, [P §4.5]) uses the same
+  manager through :func:`save_user_memory`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, keep_best_k: int = 3):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self._mngr = ocp.CheckpointManager(
+            directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=keep_best_k,
+                best_fn=lambda m: m.get("val_auc", 0.0),
+                best_mode="max",
+                enable_async_checkpointing=False,
+            ),
+        )
+
+    def save(self, step: int, params: Any, opt_state: Any,
+             loader_state: Dict, metrics: Dict[str, float]) -> None:
+        state = {
+            "params": params,
+            "opt_state": opt_state,
+            "loader": dict(loader_state),
+            "step": step,
+        }
+        self._mngr.save(step, args=ocp.args.StandardSave(state),
+                        metrics={k: float(v) for k, v in metrics.items()})
+        self._mngr.wait_until_finished()
+
+    def restore(self, step: Optional[int] = None, template: Any = None):
+        """Restore `step` (default: latest). Returns the state dict or None
+        if no checkpoint exists."""
+        if step is None:
+            step = self._mngr.latest_step()
+        if step is None:
+            return None
+        if template is not None:
+            return self._mngr.restore(step,
+                                      args=ocp.args.StandardRestore(template))
+        return self._mngr.restore(step)
+
+    def best_step(self) -> Optional[int]:
+        return self._mngr.best_step()
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def close(self):
+        self._mngr.close()
+
+
+def save_user_memory(directory: str, uid_to_memory: Dict[int, np.ndarray],
+                     counters: Dict[int, int]) -> None:
+    """Persist per-user lifelong memory state ([P §4.5], SURVEY.md §3.5):
+    the L slot vectors and the event counter that drives periodic firing."""
+    os.makedirs(directory, exist_ok=True)
+    uids = np.array(sorted(uid_to_memory), dtype=np.int64)
+    mem = np.stack([uid_to_memory[int(u)] for u in uids]) if len(uids) else \
+        np.zeros((0, 0, 0), np.float32)
+    cnt = np.array([counters.get(int(u), 0) for u in uids], dtype=np.int64)
+    np.savez(os.path.join(directory, "user_memory.npz"),
+             uids=uids, memory=mem, counters=cnt)
+
+
+def load_user_memory(directory: str):
+    path = os.path.join(directory, "user_memory.npz")
+    if not os.path.exists(path):
+        return {}, {}
+    z = np.load(path)
+    uids, mem, cnt = z["uids"], z["memory"], z["counters"]
+    return ({int(u): mem[i] for i, u in enumerate(uids)},
+            {int(u): int(cnt[i]) for i, u in enumerate(uids)})

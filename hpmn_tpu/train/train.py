@@ -1,0 +1,195 @@
+"""Train/eval driver.
+
+Reference equivalent: the ``train.py`` scripts — build graph, Adam, epoch
+loop, periodic val AUC/log-loss, early stopping, Saver (SURVEY.md §3.2).
+TPU-native shape: one jitted ``train_step`` (value_and_grad + optax Adam),
+datasets generated synthetically when no preprocessed real data is supplied
+(SURVEY.md §7 M0), sharded execution delegated to ``hpmn_tpu.parallel``.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..configs import get_config
+from ..data import (DataLoader, SPECS, make_ctr_dataset, make_periodic_dataset,
+                    train_val_test_split)
+from ..data.schema import Batch
+from ..models import init_model, loss_fn
+from .evaluate import evaluate as run_evaluate
+from .checkpoint import CheckpointManager
+
+
+def make_datasets(cfg):
+    """Synthetic by default; real preprocessed arrays when cfg.data_dir is
+    set (the loader accepts the real format when present, SURVEY.md §7)."""
+    spec = SPECS[cfg.dataset]
+    if cfg.data_dir:
+        from ..data import preprocess
+        arrays = preprocess.load_preprocessed(cfg.data_dir, spec)
+    else:
+        gen = (make_periodic_dataset if cfg.synthetic_task == "periodic"
+               else make_ctr_dataset)
+        arrays = gen(spec, cfg.n_examples, seed=cfg.seed)
+    return (*train_val_test_split(arrays), spec)
+
+
+def make_optimizer(cfg) -> optax.GradientTransformation:
+    return optax.adam(cfg.train.lr)
+
+
+def make_train_step(cfg, tx, lookup_fn=None, gru_seq_fn=None) -> Callable:
+    @jax.jit
+    def train_step(params, opt_state, batch: Batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, cfg, batch, lookup_fn, gru_seq_fn)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        del metrics["logits"]
+        return params, opt_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg, lookup_fn=None, gru_seq_fn=None) -> Callable:
+    from ..models import apply_model
+
+    @jax.jit
+    def eval_step(params, batch: Batch):
+        logits, _ = apply_model(params, cfg, batch, lookup_fn, gru_seq_fn)
+        return logits
+
+    return eval_step
+
+
+def train(cfg, lookup_fn=None, gru_seq_fn=None,
+          log: Callable[[str], None] = print) -> Dict:
+    """Run one config end-to-end. Returns final test metrics + history."""
+    if cfg.train.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+
+    train_arrays, val_arrays, test_arrays, spec = make_datasets(cfg)
+    pidx, pcnt = jax.process_index(), jax.process_count()
+    train_loader = DataLoader(train_arrays, cfg.train.batch_size, shuffle=True,
+                              seed=cfg.seed, process_index=pidx,
+                              process_count=pcnt)
+    val_loader = DataLoader(val_arrays, cfg.eval_batch_size, shuffle=False)
+    test_loader = DataLoader(test_arrays, cfg.eval_batch_size, shuffle=False)
+
+    params = init_model(jax.random.key(cfg.seed), cfg, spec.n_items,
+                        spec.n_cats)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    train_step = make_train_step(cfg, tx, lookup_fn, gru_seq_fn)
+    eval_step = make_eval_step(cfg, lookup_fn, gru_seq_fn)
+
+    mngr = None
+    if cfg.train.ckpt_dir:
+        mngr = CheckpointManager(cfg.train.ckpt_dir, cfg.train.keep_best_k)
+        restored = mngr.restore(template={
+            "params": params, "opt_state": opt_state,
+            "loader": train_loader.state_dict(), "step": 0})
+        if restored is not None:
+            params, opt_state = restored["params"], restored["opt_state"]
+            train_loader.load_state_dict(restored["loader"])
+            log(f"resumed from step {restored['step']}")
+
+    best_auc, best_step, evals_since_best = -1.0, -1, 0
+    history = []
+    step = 0
+    t_last, n_since = time.time(), 0
+    it = iter(train_loader)
+    profiling = False
+    while step < cfg.train.max_steps:
+        batch = next(it)
+        if cfg.train.profile_steps and step == 5 and not profiling:
+            jax.profiler.start_trace("/tmp/hpmn_trace")
+            profiling = True
+        params, opt_state, metrics = train_step(params, opt_state, batch)
+        step += 1
+        n_since += 1
+        if profiling and step >= 5 + cfg.train.profile_steps:
+            jax.block_until_ready(params)
+            jax.profiler.stop_trace()
+            profiling = False
+            log("profile trace written to /tmp/hpmn_trace")
+        if step % cfg.train.log_every == 0:
+            jax.block_until_ready(metrics["loss"])
+            dt = time.time() - t_last
+            eps = n_since * cfg.train.batch_size / dt
+            log(f"step {step} loss {float(metrics['loss']):.4f} "
+                f"bce {float(metrics['bce']):.4f} ex/s {eps:.1f}")
+            t_last, n_since = time.time(), 0
+        if step % cfg.train.eval_every == 0 or step == cfg.train.max_steps:
+            val = run_evaluate(eval_step, params, val_loader)
+            log(f"step {step} VAL auc {val['auc']:.4f} "
+                f"log_loss {val['log_loss']:.4f}")
+            history.append({"step": step, **val})
+            if val["auc"] > best_auc:
+                best_auc, best_step, evals_since_best = val["auc"], step, 0
+                if mngr is not None:
+                    mngr.save(step, params, opt_state,
+                              train_loader.state_dict(),
+                              {"val_auc": val["auc"],
+                               "val_log_loss": val["log_loss"]})
+            else:
+                evals_since_best += 1
+                if evals_since_best >= cfg.train.early_stop_patience:
+                    log(f"early stop at step {step} (best {best_auc:.4f} "
+                        f"@ {best_step})")
+                    break
+            t_last, n_since = time.time(), 0
+
+    # Final test eval with the best checkpoint if available, else current.
+    if mngr is not None and mngr.best_step() is not None:
+        restored = mngr.restore(mngr.best_step(), template={
+            "params": params, "opt_state": opt_state,
+            "loader": train_loader.state_dict(), "step": 0})
+        params = restored["params"]
+    test = run_evaluate(eval_step, params, test_loader)
+    log(f"TEST auc {test['auc']:.4f} log_loss {test['log_loss']:.4f}")
+    if mngr is not None:
+        mngr.close()
+    return {"test": test, "best_val_auc": best_auc, "best_step": best_step,
+            "history": history, "params": params}
+
+
+def main(argv=None):
+    """CLI: python -m hpmn_tpu.train.train --config amazon_hpmn
+    [--set key=value ...] — the reference's `python train.py <dataset>
+    <model>` equivalent (SURVEY.md §1 L5)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--set", nargs="*", default=[],
+                   help="dotted config overrides, e.g. train.max_steps=100")
+    args = p.parse_args(argv)
+    cfg = get_config(args.config)
+    for kv in args.set:
+        key, val = kv.split("=", 1)
+        ref = cfg
+        parts = key.split(".")
+        for part in parts[:-1]:
+            ref = ref[part]
+        old = ref[parts[-1]]
+        caster = type(old) if old is not None else str
+        if isinstance(old, bool):
+            val = val.lower() in ("1", "true", "yes")
+        elif isinstance(old, tuple):
+            val = tuple(int(x) for x in val.split(",") if x)
+        else:
+            val = caster(val)
+        ref[parts[-1]] = val
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Data pipeline tests: generators, loader, preprocessing round-trip."""
+
+import numpy as np
+import pytest
+
+from hpmn_tpu.data import (AMAZON, DataLoader, SPECS, make_ctr_dataset,
+                           make_periodic_dataset, train_val_test_split)
+from hpmn_tpu.data.preprocess import (load_preprocessed, process_log,
+                                      save_preprocessed)
+from hpmn_tpu.data.synthetic import DatasetSpec, _item_to_cat
+
+
+def test_ctr_dataset_schema():
+    arrays = make_ctr_dataset(AMAZON, 200, seed=1)
+    assert arrays["item_seq"].shape == (200, AMAZON.seq_len)
+    assert arrays["item_seq"].dtype == np.int32
+    assert arrays["seq_mask"].dtype == np.float32
+    # left-padded: once mask turns on it stays on
+    dm = np.diff(arrays["seq_mask"], axis=1)
+    assert (dm >= 0).all()
+    # padded positions have item 0
+    assert (arrays["item_seq"][arrays["seq_mask"] == 0] == 0).all()
+    # labels roughly balanced
+    assert 0.3 < arrays["label"].mean() < 0.7
+    # cat_seq consistent with the deterministic item->cat map
+    expect = _item_to_cat(arrays["item_seq"], AMAZON.n_items, AMAZON.n_cats)
+    assert (arrays["cat_seq"] == expect).all()
+
+
+def test_periodic_dataset_long_range_signal():
+    """Interest categories must NOT appear in the trailing noise window more
+    than chance, and the label must be decodable from the early history."""
+    spec = DatasetSpec("tiny", seq_len=40, n_items=500, n_cats=30, n_users=50)
+    arrays = make_periodic_dataset(spec, 400, seed=0, noise_window_frac=0.25)
+    W = 10
+    # Oracle decoder: target cat seen in early history => predict 1.
+    early = arrays["cat_seq"][:, :-W]
+    hit = (early == arrays["target_cat"][:, None]).any(axis=1)
+    acc = (hit == (arrays["label"] > 0.5)).mean()
+    assert acc > 0.9  # the task is solvable from early history
+
+
+def test_loader_resume_and_shapes():
+    arrays = make_ctr_dataset(AMAZON, 100, seed=0)
+    loader = DataLoader(arrays, batch_size=16, shuffle=True, seed=7)
+    it = iter(loader)
+    seen = [next(it).uid.copy() for _ in range(4)]
+    # Resume from saved state reproduces the same stream.
+    loader2 = DataLoader(arrays, batch_size=16, shuffle=True, seed=7)
+    loader2.load_state_dict(
+        {"epoch": 0, "step": 2, "seed": 7})
+    it2 = iter(loader2)
+    np.testing.assert_array_equal(next(it2).uid, seen[2])
+    np.testing.assert_array_equal(next(it2).uid, seen[3])
+
+
+def test_loader_process_sharding():
+    arrays = make_ctr_dataset(AMAZON, 100, seed=0)
+    uids = set()
+    for pidx in range(4):
+        l = DataLoader(arrays, batch_size=5, shuffle=False,
+                       process_index=pidx, process_count=4)
+        for b, n in l.one_epoch():
+            uids.update(np.asarray(b.uid[:n]).tolist())
+    # all examples covered exactly once across hosts (uids may repeat in
+    # data; use index-based check instead)
+    counts = sum(DataLoader(arrays, 5, shuffle=False, process_index=p,
+                            process_count=4).n_local for p in range(4))
+    assert counts == 100
+
+
+def test_split_disjoint_and_complete():
+    arrays = make_ctr_dataset(AMAZON, 100, seed=0)
+    tr, va, te = train_val_test_split(arrays, 0.1, 0.1)
+    assert tr["label"].shape[0] + va["label"].shape[0] + te["label"].shape[0] == 100
+
+
+def test_process_log_roundtrip(tmp_path):
+    rows = []
+    rng = np.random.default_rng(0)
+    for u in range(20):
+        for t in range(rng.integers(6, 15)):
+            item = f"it{rng.integers(0, 50)}"
+            rows.append((f"u{u}", item, f"cat{hash(item) % 7}", t))
+    arrays = process_log(rows, seq_len=10, seed=0)
+    n = arrays["label"].shape[0]
+    assert n > 0 and n % 2 == 0  # one pos + one neg per user
+    assert arrays["label"].mean() == 0.5
+    assert arrays["item_seq"].shape == (n, 10)
+    spec = DatasetSpec("amazon", 10, int(arrays["_n_items"]),
+                       int(arrays["_n_cats"]), 20)
+    save_preprocessed(str(tmp_path / "amazon.npz"), arrays)
+    loaded = load_preprocessed(str(tmp_path), spec)
+    np.testing.assert_array_equal(loaded["item_seq"], arrays["item_seq"])

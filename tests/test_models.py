@@ -1,0 +1,61 @@
+"""Forward + gradient sanity for every encoder family (SURVEY.md §2.1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpmn_tpu.configs import get_config, list_configs
+from hpmn_tpu.data.schema import dummy_batch, to_device_arrays
+from hpmn_tpu.models import ENCODERS, init_model, loss_fn
+
+N_ITEMS, N_CATS = 300, 30
+
+
+@pytest.fixture(scope="module")
+def batch():
+    return to_device_arrays(dummy_batch(8, 21, N_ITEMS, N_CATS, seed=3))
+
+
+@pytest.mark.parametrize("name", ENCODERS)
+def test_forward_and_grad(name, batch):
+    cfg = get_config("amazon_hpmn")
+    cfg.model.name = name
+    cfg.model.hpmn_layers = 3
+    params = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, batch)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # logits vary across examples (not a constant function)
+    assert float(jnp.std(metrics["logits"])) > 0
+
+
+def test_hpmn_paths_same_loss(batch):
+    cfg = get_config("taobao_hpmn")
+    params = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+    cfg.model.use_hierarchical_scan = True
+    l1, _ = loss_fn(params, cfg, batch)
+    cfg.model.use_hierarchical_scan = False
+    l2, _ = loss_fn(params, cfg, batch)
+    assert abs(float(l1) - float(l2)) < 1e-5
+
+
+def test_all_driver_configs_build(batch):
+    for name in list_configs():
+        cfg = get_config(name)
+        params = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+        loss, _ = loss_fn(params, cfg, batch)
+        assert np.isfinite(float(loss)), name
+
+
+def test_dien_aux_loss_changes_loss(batch):
+    cfg = get_config("taobao_dien")
+    params = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+    cfg.model.dien_use_aux_loss = True
+    l1, m1 = loss_fn(params, cfg, batch)
+    cfg.model.dien_use_aux_loss = False
+    l2, m2 = loss_fn(params, cfg, batch)
+    assert "aux_loss" in m1 and float(m1["aux_loss"]) > 0
+    assert float(l1) != float(l2)
