@@ -1,0 +1,71 @@
+"""Device mesh + sharding-spec helpers.
+
+Reference equivalent: NONE — the reference is single-device (SURVEY.md §2.3);
+this layer is new capability mandated by [B:5]: a single ``jax.Mesh`` over
+the pod slice with axes ``("data", "model")`` — batch sharded over "data"
+(DP), embedding tables row-sharded over "model" (the one model-parallel axis
+this workload needs), dense params replicated — XLA collectives over ICI
+within a slice / DCN across slices (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(model_parallel: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """2-D mesh (data, model). model_parallel must divide the device count;
+    data-parallel size is n_devices // model_parallel."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by "
+                         f"model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> Any:
+    """Every Batch field is sharded on its leading (example) axis."""
+    from ..data.schema import Batch
+    import dataclasses
+
+    def spec(ndim):
+        return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+
+    # All Batch fields are [B] or [B, T].
+    return Batch(**{f.name: spec(2) if f.name.endswith("_seq") or
+                    f.name == "seq_mask" else spec(1)
+                    for f in dataclasses.fields(Batch)})
+
+
+def param_shardings(mesh: Mesh, params: Any) -> Any:
+    """Embedding tables row-sharded over MODEL_AXIS; everything else
+    replicated (psum-DP handled by XLA from these shardings) [B:5]."""
+    def assign(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", getattr(p, "idx", None)))
+                for p in path]
+        if "embedding" in keys and hasattr(leaf, "ndim") and leaf.ndim == 2:
+            return NamedSharding(mesh, P(MODEL_AXIS, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch) -> Any:
+    """Place a host-local Batch onto the mesh with data-axis sharding."""
+    shardings = batch_sharding(mesh)
+    return jax.tree.map(jax.device_put, batch, shardings)

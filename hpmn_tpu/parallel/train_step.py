@@ -1,0 +1,74 @@
+"""Sharded training: DP towers with psum grad exchange + row-sharded tables,
+all inside one pjit'd step.
+
+Reference equivalent: NONE (single-device reference, SURVEY.md §2.3);
+mandated by [B:5]. Idiom: annotate shardings (params via
+``mesh.param_shardings``: tables P("model", None), dense replicated; batch
+P("data")), and let XLA insert the DP gradient ``psum``s — the embedding
+lookup's collectives are the only hand-written ones (shard_map in
+``embedding_sharding``). Donation of params/opt_state keeps the step
+in-place in HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import jax
+import optax
+from jax.sharding import Mesh
+
+from ..models import apply_model, init_model, loss_fn
+from .embedding_sharding import make_sharded_lookup, pad_vocab
+from .mesh import MODEL_AXIS, batch_sharding, param_shardings, replicated
+
+
+def init_sharded_model(key, cfg, n_items: int, n_cats: int, mesh: Mesh):
+    """init_model with vocab padded to the model-shard count, placed onto the
+    mesh with row-sharded tables."""
+    n_shards = mesh.shape[MODEL_AXIS]
+    params = init_model(key, cfg, pad_vocab(n_items, n_shards),
+                        pad_vocab(n_cats, n_shards))
+    return jax.device_put(params, param_shardings(mesh, params))
+
+
+def make_sharded_steps(cfg, tx, mesh: Mesh,
+                       gru_seq_fn: Optional[Callable] = None,
+                       ) -> Tuple[Callable, Callable]:
+    """-> (train_step, eval_step) jitted over the mesh."""
+    mode = cfg.mesh.embedding_mode
+    lookup_fn = (None if mode == "replicated"
+                 else make_sharded_lookup(mesh, mode))
+    p_shard = lambda p: param_shardings(mesh, p)
+    b_shard = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def _train(params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, cfg, batch, lookup_fn, gru_seq_fn)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        del metrics["logits"]
+        return params, opt_state, metrics
+
+    def _eval(params, batch):
+        logits, _ = apply_model(params, cfg, batch, lookup_fn, gru_seq_fn)
+        return logits
+
+    def jit_train(params, opt_state):
+        ps = p_shard(params)
+        # Adam's mu/nu mirror the param tree under paths that still contain
+        # "embedding", so the same path rule shards them correctly.
+        os_shard = param_shardings(mesh, opt_state)
+        return jax.jit(
+            _train,
+            in_shardings=(ps, os_shard, b_shard),
+            out_shardings=(ps, os_shard, rep),
+            donate_argnums=(0, 1),
+        )
+
+    def jit_eval(params):
+        return jax.jit(_eval, in_shardings=(p_shard(params), b_shard),
+                       out_shardings=rep)
+
+    return jit_train, jit_eval
