@@ -30,6 +30,10 @@ def base_config() -> ml_collections.ConfigDict:
     c.model.hpmn_period = 2
     c.model.use_hierarchical_scan = True  # fast path; False = masked oracle
     c.model.use_pallas = False  # fused TPU kernels for GRU scan + readout
+    # Statically assume every sequence is full-length (no padding): elides
+    # all mask work in the Pallas path. Safe for the synthetic periodic /
+    # XLong-style data whose sequences are always length T.
+    c.model.assume_full_mask = False
     c.model.readout_dim = 32  # additive-attention hidden size [P §4.3]
     c.model.tower_hidden = (200, 80)  # PReLU MLP tower [P §4.3]
     # DIEN

@@ -122,3 +122,35 @@ def encode_hierarchical(
         seq = h_seq[:, period - 1::period, :]
         m = m[:, period - 1::period]
     return jnp.stack(slots, axis=1)  # [B, L, d_m]
+
+
+def encode_hierarchical_tm(params: Dict, x_tm: jax.Array,
+                           mask_tm: Optional[jax.Array], period: int,
+                           gru_seq_tm_fn: Callable) -> jax.Array:
+    """TIME-MAJOR hierarchy of scans — the Pallas hot path [B:5].
+
+    x_tm [T, B, d_in]; mask_tm [T, B] or None (statically full sequences).
+    Embeddings are gathered straight into time-major by the caller
+    (transposing the int32 id arrays, not activations), stride-sampling
+    happens on the leading axis, and the layer scans consume/produce
+    time-major blocks — so no activation transpose is ever materialized.
+    gru_seq_tm_fn: (params, x_tm, mask_tm) -> (h_seq_tm [T,B,dm], h_T).
+    Mathematically identical to :func:`encode_hierarchical` /
+    :func:`encode_oracle` (tested in tests/test_pallas.py).
+    """
+    layers: List[GRUParams] = params["layers"]
+    L = len(layers)
+    T, B, _ = x_tm.shape
+    d_m = layers[0].wh.shape[0]
+
+    slots = []
+    seq, m = x_tm, mask_tm
+    for l in range(L):
+        if seq.shape[0] == 0:
+            slots.extend([jnp.zeros((B, d_m), x_tm.dtype)] * (L - l))
+            break
+        h_seq, h_T = gru_seq_tm_fn(layers[l], seq, m)
+        slots.append(h_T)
+        seq = h_seq[period - 1::period]
+        m = None if m is None else m[period - 1::period]
+    return jnp.stack(slots, axis=1)  # [B, L, d_m]

@@ -73,6 +73,17 @@ def init_model(key: jax.Array, cfg, n_items: int, n_cats: int) -> Dict:
     return params
 
 
+def _resolve_gru_seq_fn(cfg, gru_seq_fn):
+    """Default scan implementation: jnp lax.scan, or the fused Pallas kernel
+    when cfg.model.use_pallas (batch-major wrapper for the generic models)."""
+    if gru_seq_fn is not None or not cfg.model.use_pallas:
+        return gru_seq_fn
+    from ..ops.pallas_gru import pallas_gru_sequence
+
+    return lambda p, xs, m, a=None: pallas_gru_sequence(
+        p, xs, mask=m, gate_scale=a)
+
+
 def apply_model(params: Dict, cfg, batch: Batch,
                 lookup_fn: Optional[Callable] = None,
                 gru_seq_fn: Optional[Callable] = None,
@@ -81,14 +92,32 @@ def apply_model(params: Dict, cfg, batch: Batch,
     covariance regularizer) and "aux_loss" (DIEN))."""
     if lookup_fn is None:
         lookup_fn = dense_lookup
+    gru_seq_fn = _resolve_gru_seq_fn(cfg, gru_seq_fn)
     name = cfg.model.name
+    use_pallas_hpmn = (name == "hpmn" and cfg.model.use_pallas
+                      and cfg.model.use_hierarchical_scan)
     emb = params["embedding"]
-    x = lookup_fn(emb, batch.item_seq, batch.cat_seq)  # [B, T, 2d]
     q = lookup_fn(emb, batch.target_item, batch.target_cat)  # [B, 2d]
-    mask = batch.seq_mask.astype(x.dtype)
+    if not use_pallas_hpmn:
+        x = lookup_fn(emb, batch.item_seq, batch.cat_seq)  # [B, T, 2d]
+        mask = batch.seq_mask.astype(x.dtype)
     aux: Dict = {}
 
-    if name == "hpmn":
+    if use_pallas_hpmn:
+        # Time-major hot path: gather embeddings straight into [T, B, 2d] by
+        # transposing the int32 id arrays (cheap), so no activation
+        # transposes are ever materialized; fused Pallas scan + readout.
+        from ..ops.pallas_gru import pallas_gru_sequence_tm
+        from ..ops.pallas_readout import pallas_attention_readout
+        x_tm = lookup_fn(emb, batch.item_seq.T, batch.cat_seq.T)
+        mask_tm = (None if cfg.model.assume_full_mask
+                   else batch.seq_mask.T.astype(x_tm.dtype))
+        memory = hpmn_mod.encode_hierarchical_tm(
+            params["encoder"], x_tm, mask_tm, cfg.model.hpmn_period,
+            gru_seq_tm_fn=pallas_gru_sequence_tm)
+        aux["memory"] = memory
+        state = pallas_attention_readout(params["readout"], memory, q)
+    elif name == "hpmn":
         if cfg.model.use_hierarchical_scan:
             memory = hpmn_mod.encode_hierarchical(
                 params["encoder"], x, mask, cfg.model.hpmn_period,

@@ -1,0 +1,114 @@
+"""Fused Pallas attention-readout kernel.
+
+Reference equivalent: the HPMN readout's matmul/softmax TF kernels
+(SURVEY.md §2.2, [P §4.3]); mandated TPU-native replacement: "fused Pallas
+attention-readout kernel (L slots x query)" [B:5].
+
+One kernel fuses score -> masked softmax over the L memory slots -> weighted
+sum, with all weights resident in VMEM and one grid step per batch tile
+(L <= ~8, so the whole readout for a tile is a handful of VPU/MXU ops; the
+win over XLA is avoiding the intermediate [B, L, A] tanh activation round-
+tripping through HBM).
+
+The backward uses jax.vjp of the jnp oracle (``models.readout``'s math,
+re-stated here standalone to avoid a models->ops cycle) — the readout is
+<1% of model FLOPs, so a hand-written backward kernel buys nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INTERPRET = False  # flipped by tests on CPU
+
+
+def _jnp_readout(memory, query, wm, wq, b, v):
+    """The oracle math (== models.readout.attention_readout, no slot mask)."""
+    e = jnp.tanh(memory @ wm + (query @ wq + b)[:, None, :])
+    scores = e @ v  # [B, L]
+    alpha = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bl,bld->bd", alpha, memory)
+
+
+def _kernel(mem_ref, q_ref, wm_ref, wq_ref, b_ref, v_ref, out_ref, *, L: int):
+    qp = (jnp.dot(q_ref[:], wq_ref[:], preferred_element_type=jnp.float32)
+          + b_ref[:])  # [bt, A]
+    cols = []
+    for l in range(L):
+        e_l = jnp.tanh(
+            jnp.dot(mem_ref[:, l, :], wm_ref[:],
+                    preferred_element_type=jnp.float32) + qp)
+        cols.append(jnp.dot(e_l, v_ref[:],
+                            preferred_element_type=jnp.float32))  # [bt, 1]
+    scores = jnp.concatenate(cols, axis=-1)  # [bt, L]
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    ex = jnp.exp(scores - smax)
+    alpha = ex / jnp.sum(ex, axis=-1, keepdims=True)
+    read = alpha[:, 0:1] * mem_ref[:, 0, :]
+    for l in range(1, L):
+        read += alpha[:, l:l + 1] * mem_ref[:, l, :]
+    out_ref[:] = read
+
+
+def _fwd_call(memory, query, wm, wq, b, v):
+    B, L, d_m = memory.shape
+    A = wm.shape[1]
+    bt = 1
+    while bt * 2 <= min(B, 512) and B % (bt * 2) == 0:
+        bt *= 2
+    return pl.pallas_call(
+        functools.partial(_kernel, L=L),
+        grid=(B // bt,),
+        in_specs=[
+            pl.BlockSpec((bt, L, d_m), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, query.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wm.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(wq.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((A, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bt, d_m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, d_m), jnp.float32),
+        interpret=_INTERPRET,
+    )(memory, query, wm, wq, b, v)
+
+
+@jax.custom_vjp
+def _readout_core(memory, query, wm, wq, b, v):
+    return _fwd_call(memory, query, wm.astype(jnp.float32),
+                     wq.astype(jnp.float32), b.reshape(1, -1),
+                     v.reshape(-1, 1))
+
+
+def _core_fwd(memory, query, wm, wq, b, v):
+    return _readout_core(memory, query, wm, wq, b, v), \
+        (memory, query, wm, wq, b, v)
+
+
+def _core_bwd(res, g):
+    _, vjp = jax.vjp(_jnp_readout, *res)
+    return vjp(g)
+
+
+_readout_core.defvjp(_core_fwd, _core_bwd)
+
+
+def pallas_attention_readout(params: Dict, memory: jax.Array,
+                             query: jax.Array) -> jax.Array:
+    """Drop-in for ``models.readout.attention_readout`` (no slot mask —
+    HPMN's L slots are always present): memory [B, L, dm], query [B, dq]
+    -> read [B, dm]."""
+    return _readout_core(memory.astype(jnp.float32),
+                         query.astype(jnp.float32),
+                         params["wm"], params["wq"], params["b"], params["v"])

@@ -1,0 +1,120 @@
+"""Pallas kernel unit tests vs the jnp oracles (SURVEY.md §4 item 1) —
+interpreter mode on CPU; the compiled path is exercised on the real chip by
+bench.py and the verify flow."""
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import hpmn_tpu.ops.pallas_gru as pg
+import hpmn_tpu.ops.pallas_readout as pr
+from hpmn_tpu.configs import get_config
+from hpmn_tpu.data.schema import dummy_batch, to_device_arrays
+from hpmn_tpu.models import init_model, loss_fn
+from hpmn_tpu.models.hpmn import (encode_hierarchical, encode_hierarchical_tm,
+                                  encode_oracle, init_hpmn)
+from hpmn_tpu.models.readout import attention_readout, init_readout
+from hpmn_tpu.ops.gru import gru_init, gru_sequence
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    pg._INTERPRET = True
+    pr._INTERPRET = True
+    yield
+    pg._INTERPRET = False
+    pr._INTERPRET = False
+
+
+def _inputs(B=8, T=13, d_in=6, seed=0):
+    kx, km, ka = jax.random.split(jax.random.key(seed), 3)
+    x = jax.random.normal(kx, (B, T, d_in))
+    mask = (jax.random.uniform(km, (B, T)) > 0.3).astype(jnp.float32)
+    scale = jax.random.uniform(ka, (B, T))
+    return x, mask, scale
+
+
+@pytest.mark.parametrize("use_mask,use_scale", [
+    (False, False), (True, False), (True, True)])
+def test_forward_matches_oracle(use_mask, use_scale):
+    params = gru_init(jax.random.key(0), 6, 4)
+    x, mask, scale = _inputs()
+    m = mask if use_mask else None
+    a = scale if use_scale else None
+    h1, hT1 = gru_sequence(params, x, mask=m, gate_scale=a)
+    h2, hT2 = pg.pallas_gru_sequence(params, x, mask=m, gate_scale=a)
+    chex.assert_trees_all_close(h1, h2, atol=1e-5)
+    chex.assert_trees_all_close(hT1, hT2, atol=1e-5)
+
+
+def test_gradients_match_oracle():
+    params = gru_init(jax.random.key(0), 6, 4)
+    x, mask, scale = _inputs()
+
+    def loss(seq_fn, p, x, a):
+        h, hT = seq_fn(p, x, mask=mask, gate_scale=a)
+        return jnp.sum(jnp.sin(h)) + jnp.sum(hT ** 2)
+
+    g1 = jax.grad(lambda *args: loss(gru_sequence, *args),
+                  argnums=(0, 1, 2))(params, x, scale)
+    g2 = jax.grad(lambda *args: loss(pg.pallas_gru_sequence, *args),
+                  argnums=(0, 1, 2))(params, x, scale)
+    chex.assert_trees_all_close(g1, g2, atol=1e-4)
+
+
+def test_time_major_entry_point():
+    params = gru_init(jax.random.key(1), 6, 4)
+    x, mask, _ = _inputs(seed=2)
+    h1, hT1 = gru_sequence(params, x, mask=mask)
+    h2_tm, hT2 = pg.pallas_gru_sequence_tm(params, jnp.moveaxis(x, 0, 1),
+                                           mask_tm=mask.T)
+    chex.assert_trees_all_close(h1, jnp.moveaxis(h2_tm, 0, 1), atol=1e-5)
+    chex.assert_trees_all_close(hT1, hT2, atol=1e-5)
+
+
+def test_hpmn_tm_encoder_matches_oracle():
+    T, L, period, d_in, d_m, B = 20, 3, 2, 6, 5, 4
+    params = init_hpmn(jax.random.key(3), d_in, d_m, L)
+    x, mask, _ = _inputs(B=B, T=T, d_in=d_in, seed=4)
+    mo = encode_oracle(params, x, mask, period)
+    mt = encode_hierarchical_tm(
+        params, jnp.moveaxis(x, 0, 1), mask.T, period,
+        gru_seq_tm_fn=pg.pallas_gru_sequence_tm)
+    chex.assert_trees_all_close(mo, mt, atol=1e-5)
+    # full-mask static path (mask_tm=None)
+    full = jnp.ones_like(mask)
+    mo2 = encode_oracle(params, x, full, period)
+    mt2 = encode_hierarchical_tm(
+        params, jnp.moveaxis(x, 0, 1), None, period,
+        gru_seq_tm_fn=pg.pallas_gru_sequence_tm)
+    chex.assert_trees_all_close(mo2, mt2, atol=1e-5)
+
+
+def test_readout_kernel_matches_oracle():
+    B, L, d_m, dq, A = 8, 4, 6, 10, 7
+    params = init_readout(jax.random.key(5), d_m, dq, A)
+    mem = jax.random.normal(jax.random.key(6), (B, L, d_m))
+    q = jax.random.normal(jax.random.key(7), (B, dq))
+    r1 = attention_readout(params, mem, q)
+    r2 = pr.pallas_attention_readout(params, mem, q)
+    chex.assert_trees_all_close(r1, r2, atol=1e-5)
+    # gradients (bwd runs through the jnp oracle's vjp)
+    g1 = jax.grad(lambda m: jnp.sum(attention_readout(params, m, q) ** 2))(mem)
+    g2 = jax.grad(lambda m: jnp.sum(
+        pr.pallas_attention_readout(params, m, q) ** 2))(mem)
+    chex.assert_trees_all_close(g1, g2, atol=1e-4)
+
+
+def test_full_model_pallas_path():
+    """End-to-end HPMN loss/grad with use_pallas: matches the XLA path."""
+    cfg = get_config("taobao_hpmn")
+    batch = to_device_arrays(dummy_batch(8, 24, 300, 30, seed=9))
+    params = init_model(jax.random.key(0), cfg, 300, 30)
+    cfg.model.use_pallas = False
+    (l1, _), g1 = jax.value_and_grad(loss_fn, has_aux=True)(params, cfg, batch)
+    cfg.model.use_pallas = True
+    (l2, _), g2 = jax.value_and_grad(loss_fn, has_aux=True)(params, cfg, batch)
+    assert abs(float(l1) - float(l2)) < 1e-4
+    chex.assert_trees_all_close(g1, g2, atol=5e-3, rtol=1e-3)
