@@ -1,0 +1,102 @@
+"""Benchmark: HPMN full-hierarchy training throughput on XLong shapes.
+
+Metric (BASELINE.json:2,9): examples/s/chip, length-1000 lifelong sequences,
+full train step (fwd + bwd + Adam) on synthetic XLong-schema data.
+
+``vs_baseline`` is measured against the reference's computational structure
+— the masked single-scan over T carrying all L slots (what the TF-1.x
+while_loop graph computes, SURVEY.md §3.3) — run on the same chip in the
+same process. The speedup is the product of the hierarchical scan
+decomposition (layer l does T/period^l steps instead of T, [B:5]) and the
+fused Pallas kernels; the faster of the Pallas / XLA hierarchical paths is
+reported as the headline value (both are printed on stderr).
+
+Distinct input batches are cycled to defeat request-level caching in the
+execution tunnel (identical dispatches measured impossibly fast).
+
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+import optax
+
+
+def _make_batches(cfg, spec, n_batches, batch_size):
+    from hpmn_tpu.data.schema import batch_from_numpy, to_device_arrays
+    from hpmn_tpu.data.synthetic import make_ctr_dataset
+
+    arrays = make_ctr_dataset(spec, n_batches * batch_size, seed=0,
+                              min_len_frac=1.0)  # full-length sequences
+    arrays["seq_mask"][:] = 1.0
+    return [
+        to_device_arrays(batch_from_numpy(
+            arrays, np.arange(i * batch_size, (i + 1) * batch_size)))
+        for i in range(n_batches)
+    ]
+
+
+def _bench_train_step(cfg, params, batches, n_steps=12, warmup=2):
+    from hpmn_tpu.train.train import make_train_step
+
+    tx = optax.adam(cfg.train.lr)
+    opt_state = tx.init(params)
+    step = make_train_step(cfg, tx)
+    for i in range(warmup):
+        params, opt_state, m = step(params, opt_state, batches[i % len(batches)])
+    # NB: jax.block_until_ready does NOT reliably synchronize through the
+    # axon execution tunnel (it returns at dispatch, yielding impossibly
+    # fast timings); a scalar device->host pull is a real synchronization.
+    float(m["loss"])
+    t0 = time.time()
+    for i in range(n_steps):
+        params, opt_state, m = step(params, opt_state, batches[i % len(batches)])
+    float(m["loss"])
+    dt = (time.time() - t0) / n_steps
+    return batches[0].batch_size / dt
+
+
+def main():
+    from hpmn_tpu.configs import get_config
+    from hpmn_tpu.data.synthetic import XLONG
+    from hpmn_tpu.models import init_model
+
+    cfg = get_config("xlong_hpmn")
+    batch_size = 512
+    cfg.train.batch_size = batch_size
+    cfg.loss.l2_weight = 0.0  # keep the bench step free of the O(V) reg pass
+    batches = _make_batches(cfg, XLONG, 4, batch_size)
+    params = init_model(jax.random.key(0), cfg, XLONG.n_items, XLONG.n_cats)
+
+    results = {}
+    # Reference-structure baseline: masked single scan (oracle).
+    cfg.model.use_hierarchical_scan = False
+    cfg.model.use_pallas = False
+    results["oracle_masked_scan"] = _bench_train_step(cfg, params, batches,
+                                                      n_steps=6)
+    # Hierarchical XLA path.
+    cfg.model.use_hierarchical_scan = True
+    results["hierarchical_xla"] = _bench_train_step(cfg, params, batches)
+    # Hierarchical + fused Pallas kernels (full sequences: mask elided).
+    cfg.model.use_pallas = True
+    cfg.model.assume_full_mask = True
+    results["hierarchical_pallas"] = _bench_train_step(cfg, params, batches)
+
+    for k, v in results.items():
+        print(f"# {k}: {v:,.0f} examples/s/chip", file=sys.stderr)
+
+    best = max(results["hierarchical_xla"], results["hierarchical_pallas"])
+    print(json.dumps({
+        "metric": "xlong_hpmn_train_examples_per_sec_per_chip",
+        "value": round(best, 1),
+        "unit": "examples/s/chip",
+        "vs_baseline": round(best / results["oracle_masked_scan"], 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

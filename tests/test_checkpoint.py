@@ -1,0 +1,74 @@
+"""Checkpoint round-trip: orbax save/restore mid-run resumes identically
+(SURVEY.md §4 item 6, §5.4)."""
+
+import chex
+import jax
+import numpy as np
+import optax
+import pytest
+
+from hpmn_tpu.configs import get_config
+from hpmn_tpu.data import DataLoader, make_ctr_dataset
+from hpmn_tpu.data.synthetic import DatasetSpec
+from hpmn_tpu.models import init_model
+from hpmn_tpu.train.checkpoint import CheckpointManager
+from hpmn_tpu.train.train import make_train_step
+
+SPEC = DatasetSpec("tiny", seq_len=12, n_items=150, n_cats=15, n_users=40)
+
+
+def _run_steps(step_fn, params, opt_state, loader, n):
+    it = iter(loader)
+    for _ in range(n):
+        params, opt_state, m = step_fn(params, opt_state, next(it))
+    return params, opt_state, m
+
+
+@pytest.fixture
+def setup():
+    cfg = get_config("amazon_hpmn")
+    cfg.model.hpmn_layers = 2
+    arrays = make_ctr_dataset(SPEC, 200, seed=3)
+    params = init_model(jax.random.key(0), cfg, SPEC.n_items, SPEC.n_cats)
+    tx = optax.adam(1e-3)
+    return cfg, arrays, params, tx
+
+
+def test_save_restore_resumes_identically(setup, tmp_path):
+    cfg, arrays, params, tx = setup
+    step_fn = make_train_step(cfg, tx)
+
+    # Uninterrupted run: 6 steps.
+    loader_a = DataLoader(arrays, batch_size=16, seed=5)
+    pa, oa, _ = _run_steps(step_fn, params, tx.init(params), loader_a, 6)
+
+    # Interrupted run: 3 steps, checkpoint, "crash", restore, 3 more.
+    loader_b = DataLoader(arrays, batch_size=16, seed=5)
+    pb, ob, _ = _run_steps(step_fn, params, tx.init(params), loader_b, 3)
+    mngr = CheckpointManager(str(tmp_path / "ckpt"), keep_best_k=2)
+    mngr.save(3, pb, ob, loader_b.state_dict(), {"val_auc": 0.5})
+    mngr.close()
+
+    mngr2 = CheckpointManager(str(tmp_path / "ckpt"), keep_best_k=2)
+    template = {"params": params, "opt_state": tx.init(params),
+                "loader": loader_b.state_dict(), "step": 0}
+    restored = mngr2.restore(template=template)
+    assert restored["step"] == 3
+    loader_c = DataLoader(arrays, batch_size=16, seed=5)
+    loader_c.load_state_dict(restored["loader"])
+    pc, oc, _ = _run_steps(step_fn, restored["params"],
+                           restored["opt_state"], loader_c, 3)
+    chex.assert_trees_all_close(jax.device_get(pa), jax.device_get(pc),
+                                atol=1e-6)
+    mngr2.close()
+
+
+def test_best_k_by_val_auc(setup, tmp_path):
+    cfg, arrays, params, tx = setup
+    opt = tx.init(params)
+    loader = DataLoader(arrays, batch_size=16, seed=5)
+    mngr = CheckpointManager(str(tmp_path / "ckpt"), keep_best_k=2)
+    for step, auc in [(1, 0.6), (2, 0.8), (3, 0.55), (4, 0.7)]:
+        mngr.save(step, params, opt, loader.state_dict(), {"val_auc": auc})
+    assert mngr.best_step() == 2
+    mngr.close()

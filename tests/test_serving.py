@@ -1,0 +1,82 @@
+"""Lifelong serving tests: incremental per-user memory == training oracle
+([P §4.5], SURVEY.md §3.5) and round-trip persistence."""
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hpmn_tpu.configs import get_config
+from hpmn_tpu.models import init_model
+from hpmn_tpu.models.embedding import dense_lookup
+from hpmn_tpu.models.hpmn import encode_oracle
+from hpmn_tpu.serving import UserMemoryStore
+
+N_ITEMS, N_CATS = 200, 20
+
+
+def _setup():
+    cfg = get_config("taobao_hpmn")  # 3-layer, period 3
+    params = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+    return cfg, params
+
+
+def test_incremental_equals_oracle():
+    cfg, params = _setup()
+    rng = np.random.default_rng(0)
+    B, T = 4, 17  # deliberately not a multiple of period**l
+    items = rng.integers(1, N_ITEMS, size=(B, T)).astype(np.int32)
+    cats = (items % N_CATS).astype(np.int32)
+
+    store = UserMemoryStore(cfg, params)
+    uids = np.arange(B)
+    for t in range(T):
+        store.update(uids, items[:, t], cats[:, t])
+
+    x = dense_lookup(params["embedding"], jnp.asarray(items),
+                     jnp.asarray(cats))
+    mem_oracle = encode_oracle(params["encoder"], x, jnp.ones((B, T)),
+                               cfg.model.hpmn_period)
+    mem_store, _ = store._gather(uids)
+    chex.assert_trees_all_close(mem_store, mem_oracle, atol=1e-5)
+
+
+def test_predict_matches_training_forward():
+    cfg, params = _setup()
+    rng = np.random.default_rng(1)
+    B, T = 3, 9
+    items = rng.integers(1, N_ITEMS, size=(B, T)).astype(np.int32)
+    cats = (items % N_CATS).astype(np.int32)
+    store = UserMemoryStore(cfg, params)
+    uids = np.arange(B)
+    for t in range(T):
+        store.update(uids, items[:, t], cats[:, t])
+    cand_i = rng.integers(1, N_ITEMS, size=B).astype(np.int32)
+    cand_c = (cand_i % N_CATS).astype(np.int32)
+    scores = store.predict(uids, cand_i, cand_c)
+    assert scores.shape == (B,)
+    assert ((scores > 0) & (scores < 1)).all()
+
+
+def test_save_load_roundtrip(tmp_path):
+    cfg, params = _setup()
+    store = UserMemoryStore(cfg, params)
+    store.update([7, 9], [3, 4], [1, 2])
+    store.update([7], [5], [2])
+    store.save(str(tmp_path))
+    store2 = UserMemoryStore.load(str(tmp_path), cfg, params)
+    assert store2._counter == {7: 2, 9: 1}
+    m1, c1 = store._gather(np.array([7, 9]))
+    m2, c2 = store2._gather(np.array([7, 9]))
+    chex.assert_trees_all_close(m1, m2)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+def test_new_user_starts_cold():
+    cfg, params = _setup()
+    store = UserMemoryStore(cfg, params)
+    mem, cnt = store._gather(np.array([42]))
+    assert float(jnp.abs(mem).max()) == 0.0 and int(cnt[0]) == 0
+    # predicting for an unseen user works (cold-start read of zero memory)
+    s = store.predict([42], [5], [1])
+    assert 0 < float(s[0]) < 1
