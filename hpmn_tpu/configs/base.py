@@ -57,6 +57,7 @@ def base_config() -> ml_collections.ConfigDict:
     c.train.early_stop_patience = 5  # evals without val-AUC improvement
     c.train.log_every = 50
     c.train.ckpt_dir = ""
+    c.train.log_dir = ""  # tensorboardX event files (SURVEY.md §5.5)
     c.train.keep_best_k = 3
     c.train.profile_steps = 0  # >0: dump a jax.profiler trace of N steps
     c.train.debug_nans = False

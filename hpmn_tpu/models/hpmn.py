@@ -115,7 +115,8 @@ def encode_hierarchical(
             # the oracle.
             slots.extend([jnp.zeros((B, d_m), x.dtype)] * (L - l))
             break
-        h_seq, h_T = gru_seq_fn(layers[l], seq, m)
+        with jax.named_scope(f"hpmn_layer_{l}_scan"):
+            h_seq, h_T = gru_seq_fn(layers[l], seq, m)
         slots.append(h_T)
         # Stride-sample this layer's outputs at the next layer's firing grid:
         # every `period`-th element starting at index period-1.
@@ -149,7 +150,8 @@ def encode_hierarchical_tm(params: Dict, x_tm: jax.Array,
         if seq.shape[0] == 0:
             slots.extend([jnp.zeros((B, d_m), x_tm.dtype)] * (L - l))
             break
-        h_seq, h_T = gru_seq_tm_fn(layers[l], seq, m)
+        with jax.named_scope(f"hpmn_layer_{l}_scan"):
+            h_seq, h_T = gru_seq_tm_fn(layers[l], seq, m)
         slots.append(h_T)
         seq = h_seq[period - 1::period]
         m = None if m is None else m[period - 1::period]

@@ -83,12 +83,38 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     val_loader = DataLoader(val_arrays, cfg.eval_batch_size, shuffle=False)
     test_loader = DataLoader(test_arrays, cfg.eval_batch_size, shuffle=False)
 
-    params = init_model(jax.random.key(cfg.seed), cfg, spec.n_items,
-                        spec.n_cats)
     tx = make_optimizer(cfg)
-    opt_state = tx.init(params)
-    train_step = make_train_step(cfg, tx, lookup_fn, gru_seq_fn)
-    eval_step = make_eval_step(cfg, lookup_fn, gru_seq_fn)
+    use_mesh = (cfg.mesh.model_parallel > 1 or len(jax.devices()) > 1) \
+        and lookup_fn is None
+    if use_mesh:
+        # Sharded execution over the device mesh (SURVEY.md §2.3, [B:5]):
+        # DP over "data", row-sharded tables over "model".
+        from ..parallel import (init_sharded_model, make_mesh,
+                                make_sharded_steps, param_shardings,
+                                shard_batch)
+
+        mesh = make_mesh(cfg.mesh.model_parallel)
+        if cfg.mesh.model_parallel > 1 and \
+                cfg.mesh.embedding_mode == "replicated":
+            cfg.mesh.embedding_mode = "psum"
+        params = init_sharded_model(jax.random.key(cfg.seed), cfg,
+                                    spec.n_items, spec.n_cats, mesh)
+        opt_state = jax.device_put(tx.init(params),
+                                   param_shardings(mesh, tx.init(params)))
+        jit_train, jit_eval = make_sharded_steps(cfg, tx, mesh,
+                                                 gru_seq_fn=gru_seq_fn)
+        _train_step = jit_train(params, opt_state)
+        _eval_step = jit_eval(params)
+        train_step = lambda p, o, b: _train_step(p, o, shard_batch(mesh, b))
+        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b))
+        log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
+            f"embedding_mode={cfg.mesh.embedding_mode}")
+    else:
+        params = init_model(jax.random.key(cfg.seed), cfg, spec.n_items,
+                            spec.n_cats)
+        opt_state = tx.init(params)
+        train_step = make_train_step(cfg, tx, lookup_fn, gru_seq_fn)
+        eval_step = make_eval_step(cfg, lookup_fn, gru_seq_fn)
 
     mngr = None
     if cfg.train.ckpt_dir:
@@ -100,6 +126,11 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             params, opt_state = restored["params"], restored["opt_state"]
             train_loader.load_state_dict(restored["loader"])
             log(f"resumed from step {restored['step']}")
+
+    writer = None
+    if cfg.train.log_dir and jax.process_index() == 0:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(cfg.train.log_dir)
 
     best_auc, best_step, evals_since_best = -1.0, -1, 0
     history = []
@@ -126,11 +157,18 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             eps = n_since * cfg.train.batch_size / dt
             log(f"step {step} loss {float(metrics['loss']):.4f} "
                 f"bce {float(metrics['bce']):.4f} ex/s {eps:.1f}")
+            if writer is not None:
+                for k, v in metrics.items():
+                    writer.add_scalar(f"train/{k}", float(v), step)
+                writer.add_scalar("train/examples_per_sec", eps, step)
             t_last, n_since = time.time(), 0
         if step % cfg.train.eval_every == 0 or step == cfg.train.max_steps:
             val = run_evaluate(eval_step, params, val_loader)
             log(f"step {step} VAL auc {val['auc']:.4f} "
                 f"log_loss {val['log_loss']:.4f}")
+            if writer is not None:
+                writer.add_scalar("val/auc", val["auc"], step)
+                writer.add_scalar("val/log_loss", val["log_loss"], step)
             history.append({"step": step, **val})
             if val["auc"] > best_auc:
                 best_auc, best_step, evals_since_best = val["auc"], step, 0
@@ -155,6 +193,10 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         params = restored["params"]
     test = run_evaluate(eval_step, params, test_loader)
     log(f"TEST auc {test['auc']:.4f} log_loss {test['log_loss']:.4f}")
+    if writer is not None:
+        writer.add_scalar("test/auc", test["auc"], step)
+        writer.add_scalar("test/log_loss", test["log_loss"], step)
+        writer.close()
     if mngr is not None:
         mngr.close()
     return {"test": test, "best_val_auc": best_auc, "best_step": best_step,

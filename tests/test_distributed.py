@@ -1,0 +1,80 @@
+"""Multi-process distributed test without a cluster (SURVEY.md §4 item 4):
+spawn N processes with jax.distributed.initialize on portpicker-allocated
+ports; assert cross-process psum and that the row-sharded embedding lookup
+over a mesh spanning two processes matches the dense lookup."""
+
+import os
+import subprocess
+import sys
+
+import portpicker
+import pytest
+
+_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+from hpmn_tpu.parallel.distributed import initialize
+
+port, pid = sys.argv[1], int(sys.argv[2])
+initialize(coordinator_address=f"127.0.0.1:{port}", num_processes=2,
+           process_id=pid)
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 4, jax.devices()  # 2 fake devices x 2 procs
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from hpmn_tpu.parallel import make_mesh, make_sharded_lookup, param_shardings
+from hpmn_tpu.models.embedding import dense_lookup, init_embedding
+
+# Cross-process psum sanity: sum of per-device ranks over the full mesh.
+mesh = make_mesh(model_parallel=2)
+from jax.experimental.shard_map import shard_map
+import functools
+@functools.partial(jax.shard_map, mesh=mesh, in_specs=P("data", "model"),
+                   out_specs=P("data", "model"))
+def rank_sum(x):
+    return x + jax.lax.psum(x * 0 + 1.0, ("data", "model"))
+from jax.experimental import multihost_utils
+arr = jnp.zeros((2, 2))
+out = rank_sum(jax.device_put(arr, NamedSharding(mesh, P("data", "model"))))
+np.testing.assert_allclose(multihost_utils.process_allgather(out, tiled=True), 4.0)
+
+# Row-sharded lookup across the 2-process mesh == dense lookup.
+emb = init_embedding(jax.random.key(0), 32, 8, emb_dim=4)
+emb_sharded = jax.device_put(
+    emb, param_shardings(mesh, {"embedding": emb})["embedding"])
+rng = np.random.default_rng(0)
+item = rng.integers(0, 32, size=(4, 6)).astype(np.int32)
+cat = rng.integers(0, 8, size=(4, 6)).astype(np.int32)
+lookup = make_sharded_lookup(mesh, "psum")
+got = jax.jit(lookup)(emb_sharded, item, cat)
+want = dense_lookup(emb, item, cat)
+np.testing.assert_allclose(multihost_utils.process_allgather(got, tiled=True),
+                           np.asarray(want), atol=1e-6)
+print(f"proc {pid} OK")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_mesh(tmp_path):
+    port = portpicker.pick_unused_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+         env.get("PYTHONPATH", "")])
+    procs = [
+        subprocess.Popen([sys.executable, "-c", _WORKER, str(port), str(pid)],
+                         env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-3000:]
+    assert any("proc 0 OK" in o for o in outs)
+    assert any("proc 1 OK" in o for o in outs)
