@@ -17,16 +17,45 @@ from . import metrics as M
 
 def evaluate(eval_step: Callable, params, loader: DataLoader) -> Dict[str, float]:
     """eval_step(params, batch) -> logits [B]. Pads the final short batch and
-    trims by n_valid, so every example is scored exactly once."""
+    trims by n_valid, so every example is scored exactly once.
+
+    Multi-host: each process scores only its DataLoader shard; the
+    (logits, labels) sets are merged across hosts before computing the
+    exact AUC, so every host reports the identical global metric
+    (SURVEY.md §5.5)."""
     all_logits, all_labels = [], []
     for batch, n_valid in loader.one_epoch():
         logits = np.asarray(jax.device_get(eval_step(params, batch)))
         all_logits.append(logits[:n_valid])
         all_labels.append(np.asarray(batch.label)[:n_valid])
-    logits = np.concatenate(all_logits)
-    labels = np.concatenate(all_labels)
+    logits = np.concatenate(all_logits) if all_logits else np.zeros((0,))
+    labels = np.concatenate(all_labels) if all_labels else np.zeros((0,))
+    if jax.process_count() > 1:
+        logits, labels = _merge_across_hosts(logits, labels)
     return {
         "auc": M.auc(logits, labels),
         "log_loss": M.log_loss(logits, labels),
         "n": float(len(labels)),
     }
+
+
+def _merge_across_hosts(logits: np.ndarray, labels: np.ndarray):
+    """All-gather per-host (logits, labels) shards, padded to the max shard
+    length (ragged shards arise when the eval set doesn't divide evenly)."""
+    from jax.experimental import multihost_utils
+
+    n = np.int64(len(logits))
+    n_all = multihost_utils.process_allgather(n)
+    n_max = int(n_all.max())
+    pad = n_max - len(logits)
+    packed = np.stack([
+        np.pad(logits.astype(np.float64), (0, pad)),
+        np.pad(labels.astype(np.float64), (0, pad)),
+    ])
+    gathered = multihost_utils.process_allgather(packed)  # [P, 2, n_max]
+    outs_l, outs_y = [], []
+    for p in range(gathered.shape[0]):
+        k = int(n_all[p])
+        outs_l.append(gathered[p, 0, :k])
+        outs_y.append(gathered[p, 1, :k])
+    return np.concatenate(outs_l), np.concatenate(outs_y)

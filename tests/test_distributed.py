@@ -55,6 +55,17 @@ got = jax.jit(lookup)(emb_sharded, item, cat)
 want = dense_lookup(emb, item, cat)
 np.testing.assert_allclose(multihost_utils.process_allgather(got, tiled=True),
                            np.asarray(want), atol=1e-6)
+
+# Cross-host eval merge: ragged per-host shards -> identical global AUC.
+from hpmn_tpu.train.evaluate import _merge_across_hosts
+from hpmn_tpu.train.metrics import auc
+rng2 = np.random.default_rng(100 + pid)
+n_local = 13 if pid == 0 else 7  # ragged on purpose
+logits = rng2.normal(size=n_local)
+labels = (rng2.random(n_local) > 0.5).astype(np.float64)
+gl, gy = _merge_across_hosts(logits, labels)
+assert len(gl) == 20, len(gl)
+print(f"proc {pid} global_auc {auc(gl, gy):.10f}")
 print(f"proc {pid} OK")
 """
 
@@ -78,3 +89,10 @@ def test_two_process_mesh(tmp_path):
         assert p.returncode == 0, out[-3000:]
     assert any("proc 0 OK" in o for o in outs)
     assert any("proc 1 OK" in o for o in outs)
+    # Both hosts computed the identical merged global AUC.
+    aucs = set()
+    for o in outs:
+        for line in o.splitlines():
+            if "global_auc" in line:
+                aucs.add(line.split()[-1])
+    assert len(aucs) == 1, aucs
