@@ -90,6 +90,9 @@ def apply_model(params: Dict, cfg, batch: Batch,
                 ) -> Tuple[jax.Array, Dict]:
     """-> (logits [B], aux dict: may contain "memory" (HPMN slots for the
     covariance regularizer) and "aux_loss" (DIEN))."""
+    from ..utils import validate_batch
+
+    validate_batch(batch)  # trace-time shape/dtype contract (SURVEY.md §5.2)
     if lookup_fn is None:
         lookup_fn = dense_lookup
     gru_seq_fn = _resolve_gru_seq_fn(cfg, gru_seq_fn)
