@@ -85,6 +85,58 @@ def _owned_gather_a2a(table: jax.Array, ids: jax.Array,
     return jax.lax.all_gather(my_rows, axis, axis=0, tiled=True)
 
 
+def local_lookup_fn(n_shards: int, mode: str = "psum") -> Callable:
+    """Collective lookup for use INSIDE an enclosing shard_map over
+    ("data", "model"): takes the LOCAL table shards and replicated-over-
+    model local ids, returns complete rows (same math as
+    ``make_sharded_lookup``, minus the shard_map wrapper).
+
+    The VJP is written explicitly: whatever the forward exchange (psum or
+    a2a), the gradient to the LOCAL table shard is the cotangent rows
+    masked to owned ids, scatter-added locally — no collective transpose.
+    (Relying on autodiff here is wrong: under the enclosing shard_map with
+    check_vma=False the psum transpose re-psums the already-replicated
+    cotangent, inflating table grads by n_model — caught by
+    tests/test_shardmap_step.py.)
+    """
+
+    @jax.custom_vjp
+    def one_table_flat(table, flat):
+        if mode == "psum":
+            return _owned_gather_psum(table, flat, MODEL_AXIS)
+        elif mode == "a2a":
+            pad = (-flat.shape[0]) % n_shards
+            padded = jnp.pad(flat, (0, pad))
+            out = _owned_gather_a2a(table, padded, MODEL_AXIS, n_shards)
+            return out[:flat.shape[0]]
+        raise ValueError(f"unknown embedding mode {mode!r}")
+
+    def _fwd(table, flat):
+        return one_table_flat(table, flat), (flat, table.shape[0])
+
+    def _bwd(res, g):
+        flat, rows_per = res
+        shard = jax.lax.axis_index(MODEL_AXIS)
+        local = flat - shard * rows_per
+        mine = (local >= 0) & (local < rows_per)
+        safe = jnp.clip(local, 0, rows_per - 1)
+        dt = jnp.zeros((rows_per, g.shape[-1]), g.dtype)
+        dt = dt.at[safe].add(jnp.where(mine[:, None], g, 0))
+        return dt, None
+
+    one_table_flat.defvjp(_fwd, _bwd)
+
+    def one_table(table, ids):
+        out = one_table_flat(table, ids.reshape(-1))
+        return out.reshape(*ids.shape, table.shape[-1])
+
+    def lookup(emb, item_ids, cat_ids):
+        return jnp.concatenate([one_table(emb["item"], item_ids),
+                                one_table(emb["cat"], cat_ids)], axis=-1)
+
+    return lookup
+
+
 def make_sharded_lookup(mesh: Mesh, mode: str = "psum") -> Callable:
     """Returns lookup_fn(emb, item_ids, cat_ids) -> [..., 2d] implemented
     with shard_map over the mesh; a drop-in for ``embedding.dense_lookup``.

@@ -20,7 +20,8 @@ from jax.sharding import Mesh
 
 from ..models import apply_model, init_model, loss_fn
 from .embedding_sharding import make_sharded_lookup, pad_vocab
-from .mesh import MODEL_AXIS, batch_sharding, param_shardings, replicated
+from .mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding, param_shardings,
+                   replicated)
 
 
 def init_sharded_model(key, cfg, n_items: int, n_cats: int, mesh: Mesh):
@@ -70,5 +71,80 @@ def make_sharded_steps(cfg, tx, mesh: Mesh,
     def jit_eval(params):
         return jax.jit(_eval, in_shardings=(p_shard(params), b_shard),
                        out_shardings=rep)
+
+    return jit_train, jit_eval
+
+
+def make_shardmap_steps(cfg, tx, mesh: Mesh,
+                        gru_seq_fn: Optional[Callable] = None,
+                        ) -> Tuple[Callable, Callable]:
+    """Explicit shard_map training step — the idiom the Pallas path needs.
+
+    GSPMD cannot partition a Pallas custom call, so under jit-with-shardings
+    the fused kernels run replicated on the global batch. This variant maps
+    the whole step over the mesh instead: every device computes on its LOCAL
+    batch shard with its LOCAL table shard, the embedding exchange uses the
+    in-shard_map collective lookup, dense gradients are pmean'd over
+    ("data", "model") (model copies are identical; averaging is exact) and
+    row-sharded table gradients over "data" only. [B:5], SNIPPETS [S:36-49].
+    """
+    import dataclasses
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..data.schema import Batch
+    from ..models import apply_model, loss_fn
+    from .embedding_sharding import local_lookup_fn
+
+    n_model = mesh.shape[MODEL_AXIS]
+    lookup = (local_lookup_fn(n_model, cfg.mesh.embedding_mode)
+              if n_model > 1 else None)
+
+    def spec_of(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "name", getattr(p, "idx", None)))
+                for p in path]
+        if "embedding" in keys and hasattr(leaf, "ndim") and leaf.ndim == 2:
+            return P(MODEL_AXIS, None)
+        return P()
+
+    def param_specs(tree):
+        return jax.tree_util.tree_map_with_path(spec_of, tree)
+
+    def grad_mean(path, g):
+        keys = [getattr(p, "key", getattr(p, "name", getattr(p, "idx", None)))
+                for p in path]
+        if "embedding" in keys and hasattr(g, "ndim") and g.ndim == 2:
+            return jax.lax.pmean(g, DATA_AXIS)
+        return jax.lax.pmean(g, (DATA_AXIS, MODEL_AXIS))
+
+    batch_spec = Batch(**{f.name: P(DATA_AXIS)
+                          for f in dataclasses.fields(Batch)})
+
+    def _train(params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, cfg, batch, lookup, gru_seq_fn)
+        grads = jax.tree_util.tree_map_with_path(grad_mean, grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        del metrics["logits"]
+        metrics = jax.tree.map(
+            lambda m: jax.lax.pmean(m, (DATA_AXIS, MODEL_AXIS)), metrics)
+        return params, opt_state, metrics
+
+    def _eval(params, batch):
+        logits, _ = apply_model(params, cfg, batch, lookup, gru_seq_fn)
+        return logits
+
+    def jit_train(params, opt_state):
+        ps, os_ = param_specs(params), param_specs(opt_state)
+        return jax.jit(jax.shard_map(
+            _train, mesh=mesh, in_specs=(ps, os_, batch_spec),
+            out_specs=(ps, os_, P()), check_vma=False))
+
+    def jit_eval(params):
+        return jax.jit(jax.shard_map(
+            _eval, mesh=mesh, in_specs=(param_specs(params), batch_spec),
+            out_specs=P(DATA_AXIS), check_vma=False))
 
     return jit_train, jit_eval

@@ -105,8 +105,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         # Sharded execution over the device mesh (SURVEY.md §2.3, [B:5]):
         # DP over "data", row-sharded tables over "model".
         from ..parallel import (init_sharded_model, make_mesh,
-                                make_sharded_steps, param_shardings,
-                                shard_batch)
+                                make_sharded_steps, make_shardmap_steps,
+                                param_shardings, shard_batch)
 
         mesh = make_mesh(cfg.mesh.model_parallel)
         if cfg.mesh.model_parallel > 1 and \
@@ -116,8 +116,11 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                                     spec.n_items, spec.n_cats, mesh)
         opt_state = jax.device_put(tx.init(params),
                                    param_shardings(mesh, tx.init(params)))
-        jit_train, jit_eval = make_sharded_steps(cfg, tx, mesh,
-                                                 gru_seq_fn=gru_seq_fn)
+        # GSPMD cannot partition Pallas custom calls — use the explicit
+        # shard_map step so the kernels run on local shards.
+        make_steps = (make_shardmap_steps if cfg.model.use_pallas
+                      else make_sharded_steps)
+        jit_train, jit_eval = make_steps(cfg, tx, mesh, gru_seq_fn=gru_seq_fn)
         train_step = jit_train(params, opt_state)
         _eval_step = jit_eval(params)
         eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b))
