@@ -85,11 +85,16 @@ def main():
     cfg.model.use_pallas = True
     cfg.model.assume_full_mask = True
     results["hierarchical_pallas"] = _bench_train_step(cfg, params, batches)
+    # Same with the bf16 VPU chain (MXU still accumulates f32).
+    cfg.model.scan_dtype = "bfloat16"
+    results["hierarchical_pallas_bf16"] = _bench_train_step(cfg, params,
+                                                            batches)
 
     for k, v in results.items():
         print(f"# {k}: {v:,.0f} examples/s/chip", file=sys.stderr)
 
-    best = max(results["hierarchical_xla"], results["hierarchical_pallas"])
+    best = max(results["hierarchical_xla"], results["hierarchical_pallas"],
+               results["hierarchical_pallas_bf16"])
     print(json.dumps({
         "metric": "xlong_hpmn_train_examples_per_sec_per_chip",
         "value": round(best, 1),

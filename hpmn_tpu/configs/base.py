@@ -30,6 +30,10 @@ def base_config() -> ml_collections.ConfigDict:
     c.model.hpmn_period = 2
     c.model.use_hierarchical_scan = True  # fast path; False = masked oracle
     c.model.use_pallas = False  # fused TPU kernels for GRU scan + readout
+    # Compute dtype inside the Pallas scan's VPU chain (MXU always
+    # accumulates f32): "bfloat16" doubles VPU element throughput at ~1%
+    # relative numeric drift vs the f32 oracle.
+    c.model.scan_dtype = "float32"
     # Statically assume every sequence is full-length (no padding): elides
     # all mask work in the Pallas path. Safe for the synthetic periodic /
     # XLong-style data whose sequences are always length T.

@@ -110,6 +110,8 @@ def apply_model(params: Dict, cfg, batch: Batch,
         # Time-major hot path: gather embeddings straight into [T, B, 2d] by
         # transposing the int32 id arrays (cheap), so no activation
         # transposes are ever materialized; fused Pallas scan + readout.
+        import functools
+
         from ..ops.pallas_gru import pallas_gru_sequence_tm
         from ..ops.pallas_readout import pallas_attention_readout
         x_tm = lookup_fn(emb, batch.item_seq.T, batch.cat_seq.T)
@@ -117,7 +119,10 @@ def apply_model(params: Dict, cfg, batch: Batch,
                    else batch.seq_mask.T.astype(x_tm.dtype))
         memory = hpmn_mod.encode_hierarchical_tm(
             params["encoder"], x_tm, mask_tm, cfg.model.hpmn_period,
-            gru_seq_tm_fn=pallas_gru_sequence_tm)
+            gru_seq_tm_fn=functools.partial(
+                pallas_gru_sequence_tm,
+                dtype=jnp.dtype(cfg.model.scan_dtype)))
+        memory = memory.astype(jnp.float32)
         aux["memory"] = memory
         state = pallas_attention_readout(params["readout"], memory, q)
     elif name == "hpmn":

@@ -74,17 +74,17 @@ def _block_b(B: int, cap: int = MAX_BT_FWD) -> int:
     return bt
 
 
-def _pack_weights(params: GRUParams):
+def _pack_weights(params: GRUParams, dtype=jnp.float32):
     """(wx [d_in,3dm], wh [dm,3dm], b [3dm]) -> 4dm-lane packed operands."""
     d_m = params.wh.shape[0]
     d_in = params.wx.shape[0]
-    f32 = jnp.float32
     wx4 = jnp.concatenate(
-        [params.wx.astype(f32), jnp.zeros((d_in, d_m), f32)], axis=1)
+        [params.wx.astype(dtype), jnp.zeros((d_in, d_m), dtype)], axis=1)
     wh4 = jnp.concatenate(
-        [params.wh[:, :2 * d_m].astype(f32), jnp.zeros((d_m, d_m), f32),
-         params.wh[:, 2 * d_m:].astype(f32)], axis=1)
-    b4 = jnp.concatenate([params.b.astype(f32), jnp.zeros((d_m,), f32)])
+        [params.wh[:, :2 * d_m].astype(dtype), jnp.zeros((d_m, d_m), dtype),
+         params.wh[:, 2 * d_m:].astype(dtype)], axis=1)
+    b4 = jnp.concatenate([params.b.astype(dtype),
+                          jnp.zeros((d_m,), dtype)])
     return wx4, wh4, b4.reshape(1, -1)
 
 
@@ -96,19 +96,36 @@ def _unpack_grads(dwx4, dwh4, db4, d_m):
     return dwx, dwh, db
 
 
+def _sigmoid(x):
+    """sigmoid via tanh with dtype-matched constants: Mosaic's `logistic`
+    lowering broadcasts an f32 constant into bf16 vectors (compile error),
+    and tanh shares the transcendental cost anyway."""
+    half = jnp.asarray(0.5, x.dtype)
+    return half * jnp.tanh(half * x) + half
+
+
 def _pre_gates(pre, d_m):
-    r = jax.nn.sigmoid(pre[:, :d_m])
-    z = jax.nn.sigmoid(pre[:, d_m:2 * d_m])
+    r = _sigmoid(pre[:, :d_m])
+    z = _sigmoid(pre[:, d_m:2 * d_m])
     g_c = pre[:, 3 * d_m:]
     c = jnp.tanh(pre[:, 2 * d_m:3 * d_m] + r * g_c)
     return r, z, c, g_c
+
+
+def _step_pre(x_k, h, wx4_ref, wh4_ref, b4_ref, dtype):
+    """Fused per-step pre-activation; MXU accumulates f32, the VPU chain
+    then runs in `dtype` (bf16 = 2x VPU element throughput)."""
+    pre = (jnp.dot(x_k, wx4_ref[:], preferred_element_type=jnp.float32)
+           + jnp.dot(h, wh4_ref[:], preferred_element_type=jnp.float32)
+           + b4_ref[:].astype(jnp.float32))
+    return pre.astype(dtype)
 
 
 # --------------------------------------------------------------- forward --
 
 def _fwd_kernel(x_ref, mask_ref, scale_ref, wx4_ref, wh4_ref, b4_ref, h0_ref,
                 hseq_ref, hbound_ref, h_scr, *, d_m: int,
-                has_mask: bool, has_scale: bool):
+                has_mask: bool, has_scale: bool, dtype):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -127,10 +144,7 @@ def _fwd_kernel(x_ref, mask_ref, scale_ref, wx4_ref, wh4_ref, b4_ref, h0_ref,
     # incoming boundary state as a small side output.
     hbound_ref[0] = h
     for k in range(K):
-        pre = (jnp.dot(x_ref[k], wx4_ref[:],
-                       preferred_element_type=jnp.float32)
-               + jnp.dot(h, wh4_ref[:], preferred_element_type=jnp.float32)
-               + b4_ref[:])
+        pre = _step_pre(x_ref[k], h, wx4_ref, wh4_ref, b4_ref, dtype)
         r, z, c, _ = _pre_gates(pre, d_m)
         zs = z * scale_t[:, k:k + 1] if has_scale else z
         h_cell = h + zs * (c - h)
@@ -143,7 +157,7 @@ def _fwd_kernel(x_ref, mask_ref, scale_ref, wx4_ref, wh4_ref, b4_ref, h0_ref,
 
 
 def _fwd_call(x_tm, mask_tm, scale_tm, wx4, wh4, b4, h0,
-              has_mask=True, has_scale=True):
+              has_mask=True, has_scale=True, dtype=jnp.float32):
     """All sequence operands TIME-MAJOR: x [T,B,d_in], mask/scale [T,B],
     h0 [B,dm]. T must be a multiple of UNROLL. Leading-dim slicing keeps
     every in-kernel access a contiguous tile (no per-step relayouts)."""
@@ -153,7 +167,8 @@ def _fwd_call(x_tm, mask_tm, scale_tm, wx4, wh4, b4, h0,
     K = UNROLL
     grid = (B // bt, T // K)
     kernel = functools.partial(_fwd_kernel, d_m=d_m,
-                               has_mask=has_mask, has_scale=has_scale)
+                               has_mask=has_mask, has_scale=has_scale,
+                               dtype=dtype)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -180,10 +195,10 @@ def _fwd_call(x_tm, mask_tm, scale_tm, wx4, wh4, b4, h0,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, d_m), jnp.float32),
-            jax.ShapeDtypeStruct((T // K, B, d_m), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, d_m), dtype),
+            jax.ShapeDtypeStruct((T // K, B, d_m), dtype),
         ],
-        scratch_shapes=[pltpu.VMEM((bt, d_m), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bt, d_m), dtype)],
         interpret=_INTERPRET,
     )(x_tm, mask_tm, scale_tm, wx4, wh4, b4, h0)
 
@@ -195,7 +210,8 @@ def _bwd_kernel(x_ref, hseq_ref, hbound_ref, dhseq_ref, mask_ref,
                 dx_ref, dscale_ref, dh0_ref, dwx_tile_ref, db_tile_ref,
                 dwh_tile_ref,
                 dh_scr, dwx_scr, db_scr, dwh_scr,
-                *, d_m: int, n_chunks: int, has_mask: bool, has_scale: bool):
+                *, d_m: int, n_chunks: int, has_mask: bool, has_scale: bool,
+                dtype):
     tr = pl.program_id(1)  # reverse chunk counter; chunk = n_chunks-1-tr
 
     @pl.when(tr == 0)
@@ -218,13 +234,10 @@ def _bwd_kernel(x_ref, hseq_ref, hbound_ref, dhseq_ref, mask_ref,
         h_prev = hseq_ref[k - 1] if k > 0 else hbound_ref[0]
         x_k = x_ref[k]
         # Bit-exact recomputation of the forward gates.
-        pre = (jnp.dot(x_k, wx4_ref[:], preferred_element_type=jnp.float32)
-               + jnp.dot(h_prev, wh4_ref[:],
-                         preferred_element_type=jnp.float32)
-               + b4_ref[:])
+        pre = _step_pre(x_k, h_prev, wx4_ref, wh4_ref, b4_ref, dtype)
         r, z, c, g_c = _pre_gates(pre, d_m)
 
-        gtot = dhseq_ref[k] + dh
+        gtot = (dhseq_ref[k] + dh).astype(dtype)
         if has_mask:
             gcell = gtot * mask_t[:, k:k + 1]
         else:
@@ -242,14 +255,15 @@ def _bwd_kernel(x_ref, hseq_ref, hbound_ref, dhseq_ref, mask_ref,
         dr = dc * g_c * r * (1.0 - r)
         # dpre blocks: r-pre, z-pre, xp_c (direct), g_c (scaled by r).
         dpre = jnp.concatenate([dr, dz, dc, dc * r], axis=-1)
-        dh = (gcell - gcell * zs + (gtot - gcell if has_mask else 0.0)
+        dh = ((gcell - gcell * zs
+               + (gtot - gcell if has_mask else 0.0)).astype(jnp.float32)
               + jnp.dot(dpre, wh4_ref[:].T,
                         preferred_element_type=jnp.float32))
         dx_ref[k] = jnp.dot(dpre, wx4_ref[:].T,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32).astype(dtype)
         dwx += jnp.dot(x_k.T, dpre, preferred_element_type=jnp.float32)
         dwh += jnp.dot(h_prev.T, dpre, preferred_element_type=jnp.float32)
-        db += jnp.sum(dpre, axis=0, keepdims=True)
+        db += jnp.sum(dpre.astype(jnp.float32), axis=0, keepdims=True)
 
     dh_scr[:] = dh
     dwx_scr[:] = dwx
@@ -257,7 +271,8 @@ def _bwd_kernel(x_ref, hseq_ref, hbound_ref, dhseq_ref, mask_ref,
     dwh_scr[:] = dwh
     # da columns were produced k=K-1..0; restore order and store as (K, bt).
     if has_scale:
-        dscale_ref[:] = jnp.concatenate(da_cols[::-1], axis=-1).T
+        dscale_ref[:] = jnp.concatenate(da_cols[::-1],
+                                        axis=-1).T.astype(dtype)
     else:
         dscale_ref[:] = jnp.zeros_like(dscale_ref)
 
@@ -270,7 +285,7 @@ def _bwd_kernel(x_ref, hseq_ref, hbound_ref, dhseq_ref, mask_ref,
 
 
 def _bwd_call(x_tm, mask_tm, scale_tm, wx4, wh4, b4, hseq_tm, hbound,
-              dhseq_tm, has_mask=True, has_scale=True):
+              dhseq_tm, has_mask=True, has_scale=True, dtype=jnp.float32):
     T, B, d_in = x_tm.shape
     d_m = wh4.shape[0]
     bt = _block_b(B, MAX_BT_BWD)
@@ -279,7 +294,8 @@ def _bwd_call(x_tm, mask_tm, scale_tm, wx4, wh4, b4, hseq_tm, hbound,
     grid = (B // bt, n_chunks)
     n_btiles = B // bt
     kernel = functools.partial(_bwd_kernel, d_m=d_m, n_chunks=n_chunks,
-                               has_mask=has_mask, has_scale=has_scale)
+                               has_mask=has_mask, has_scale=has_scale,
+                               dtype=dtype)
     rev3 = lambda i, t: (n_chunks - 1 - t, i, 0)
     revb = lambda i, t: (n_chunks - 1 - t, i, 0)
     rev2 = lambda i, t: (n_chunks - 1 - t, i)
@@ -311,15 +327,15 @@ def _bwd_call(x_tm, mask_tm, scale_tm, wx4, wh4, b4, hseq_tm, hbound,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((T, B, d_in), jnp.float32),
-            jax.ShapeDtypeStruct((T, B), jnp.float32),
-            jax.ShapeDtypeStruct((B, d_m), jnp.float32),
+            jax.ShapeDtypeStruct((T, B, d_in), dtype),
+            jax.ShapeDtypeStruct((T, B), dtype),
+            jax.ShapeDtypeStruct((B, d_m), jnp.float32),  # dh0 (f32 carry)
             jax.ShapeDtypeStruct((n_btiles, d_in, 4 * d_m), jnp.float32),
             jax.ShapeDtypeStruct((n_btiles, 1, 4 * d_m), jnp.float32),
             jax.ShapeDtypeStruct((n_btiles, d_m, 4 * d_m), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bt, d_m), jnp.float32),
+            pltpu.VMEM((bt, d_m), jnp.float32),  # dh carry stays f32
             pltpu.VMEM((d_in, 4 * d_m), jnp.float32),
             pltpu.VMEM((1, 4 * d_m), jnp.float32),
             pltpu.VMEM((d_m, 4 * d_m), jnp.float32),
@@ -345,14 +361,15 @@ def _pad_args(x_tm, mask_tm, scale_tm):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_core(has_mask: bool, has_scale: bool):
-    """custom_vjp specialization for the static mask/scale flags."""
+def _make_core(has_mask: bool, has_scale: bool, dtype_name: str):
+    """custom_vjp specialization for the static mask/scale/dtype flags."""
+    dtype = jnp.dtype(dtype_name)
 
     def _fwd(x_tm, mask_tm, scale_tm, wx4, wh4, b4, h0):
         T = x_tm.shape[0]
         x_, mask_, scale_ = _pad_args(x_tm, mask_tm, scale_tm)
         hseq, hbound = _fwd_call(x_, mask_, scale_, wx4, wh4, b4, h0,
-                                 has_mask, has_scale)
+                                 has_mask, has_scale, dtype)
         return hseq[:T], (x_, mask_, scale_, wx4, wh4, b4, hseq, hbound, T)
 
     def _bwd(res, dhseq):
@@ -361,13 +378,15 @@ def _make_core(has_mask: bool, has_scale: bool):
         dhseq_p = jnp.pad(dhseq, ((0, Tp - T), (0, 0), (0, 0)))
         dx, dscale, dh0, dwx4, db4, dwh4 = _bwd_call(
             x_, mask_, scale_, wx4, wh4, b4, hseq, hbound, dhseq_p,
-            has_mask, has_scale)
+            has_mask, has_scale, dtype)
         # Zero the packed zero-blocks' gradients (those weights don't exist).
         d_m = wh4.shape[0]
         dwx4 = dwx4.at[:, 3 * d_m:].set(0.0)
         dwh4 = dwh4.at[:, 2 * d_m:3 * d_m].set(0.0)
         db4 = db4.at[:, 3 * d_m:].set(0.0)  # [1, 4dm], matching b4
-        return (dx[:T], None, dscale[:T], dwx4, dwh4, db4, dh0)
+        return (dx[:T], None, dscale[:T], dwx4.astype(wx4.dtype),
+                dwh4.astype(wh4.dtype), db4.astype(b4.dtype),
+                dh0.astype(dtype))
 
     @jax.custom_vjp
     def core(x_tm, mask_tm, scale_tm, wx4, wh4, b4, h0):
@@ -380,8 +399,8 @@ def _make_core(has_mask: bool, has_scale: bool):
 
 
 def gru_scan_core(x_tm, mask_tm, scale_tm, wx4, wh4, b4, h0,
-                  has_mask=True, has_scale=True):
-    return _make_core(has_mask, has_scale)(
+                  has_mask=True, has_scale=True, dtype=jnp.float32):
+    return _make_core(has_mask, has_scale, jnp.dtype(dtype).name)(
         x_tm, mask_tm, scale_tm, wx4, wh4, b4, h0)
 
 
@@ -391,6 +410,7 @@ def pallas_gru_sequence_tm(params: GRUParams, x_tm: jax.Array,
                            mask_tm: Optional[jax.Array] = None,
                            gate_scale_tm: Optional[jax.Array] = None,
                            h0: Optional[jax.Array] = None,
+                           dtype=jnp.float32,
                            ) -> Tuple[jax.Array, jax.Array]:
     """TIME-MAJOR entry point (the fast path: models gather embeddings
     straight into [T,B,d] by transposing the int32 id arrays, so no
@@ -398,16 +418,17 @@ def pallas_gru_sequence_tm(params: GRUParams, x_tm: jax.Array,
     (h_seq [T,B,dm], h_T [B,dm])."""
     T, B, _ = x_tm.shape
     d_m = params.wh.shape[0]
-    wx4, wh4, b4 = _pack_weights(params)
+    dtype = jnp.dtype(dtype)
+    wx4, wh4, b4 = _pack_weights(params, dtype)
     has_mask = mask_tm is not None
     has_scale = gate_scale_tm is not None
-    ones = jnp.ones((T, B), jnp.float32)
-    mask_tm = ones if mask_tm is None else mask_tm.astype(jnp.float32)
+    ones = jnp.ones((T, B), dtype)
+    mask_tm = ones if mask_tm is None else mask_tm.astype(dtype)
     scale_tm = (ones if gate_scale_tm is None
-                else gate_scale_tm.astype(jnp.float32))
-    h0 = jnp.zeros((B, d_m), jnp.float32) if h0 is None else h0
-    hseq = gru_scan_core(x_tm.astype(jnp.float32), mask_tm, scale_tm,
-                         wx4, wh4, b4, h0, has_mask, has_scale)
+                else gate_scale_tm.astype(dtype))
+    h0 = jnp.zeros((B, d_m), dtype) if h0 is None else h0.astype(dtype)
+    hseq = gru_scan_core(x_tm.astype(dtype), mask_tm, scale_tm,
+                         wx4, wh4, b4, h0, has_mask, has_scale, dtype)
     return hseq, hseq[-1]
 
 
