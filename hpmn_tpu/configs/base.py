@@ -67,6 +67,7 @@ def base_config() -> ml_collections.ConfigDict:
     c.train.debug_nans = False
 
     c.mesh = ml_collections.ConfigDict()
+    c.mesh.enable = True  # False: force single-device execution
     c.mesh.data_axis = "data"
     c.mesh.model_axis = "model"
     c.mesh.model_parallel = 1  # table-shard count; 1 = no model parallelism

@@ -106,16 +106,22 @@ REQUIRED_KEYS = ("uid", "item_seq", "cat_seq", "seq_mask", "target_item",
                  "target_cat", "label", "neg_item_seq", "neg_cat_seq")
 
 
-def save_preprocessed(path: str, arrays: Dict[str, np.ndarray]) -> None:
+def save_preprocessed(path: str, arrays: Dict[str, np.ndarray],
+                      compressed: bool = True) -> None:
+    """compressed=False writes a plain .npz that ``load_preprocessed`` can
+    memory-map — preferred for lifelong-scale datasets (XLong real data is
+    GBs of id sequences; mmap keeps the loader's row-gather lazy)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez_compressed(path, **arrays)
+    (np.savez_compressed if compressed else np.savez)(path, **arrays)
 
 
-def load_preprocessed(data_dir: str, spec: DatasetSpec) -> Dict[str, np.ndarray]:
+def load_preprocessed(data_dir: str, spec: DatasetSpec,
+                      mmap: bool = False) -> Dict[str, np.ndarray]:
     """Load ``<data_dir>/<dataset>.npz`` in the emitted format; validates
-    the schema and sequence length against the dataset spec."""
+    the schema and sequence length against the dataset spec. mmap=True
+    memory-maps uncompressed archives (zero-copy until batched)."""
     path = os.path.join(data_dir, f"{spec.name}.npz")
-    z = np.load(path)
+    z = np.load(path, mmap_mode="r" if mmap else None)
     arrays = {k: z[k] for k in REQUIRED_KEYS}
     T = arrays["item_seq"].shape[1]
     if T != spec.seq_len:

@@ -100,7 +100,7 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
 
     tx = make_optimizer(cfg)
     use_mesh = (cfg.mesh.model_parallel > 1 or len(jax.devices()) > 1) \
-        and lookup_fn is None
+        and cfg.mesh.enable and lookup_fn is None
     if use_mesh:
         # Sharded execution over the device mesh (SURVEY.md §2.3, [B:5]):
         # DP over "data", row-sharded tables over "model".

@@ -60,6 +60,32 @@ def test_golden_fixed_seed_trajectory():
 
 
 @pytest.mark.slow
+def test_bf16_scan_trains_to_f32_parity():
+    """scan_dtype=bfloat16 must track the f32 run's quality (within a few
+    AUC points at equal budget) — guards the bf16 kernel's numerics."""
+    import hpmn_tpu.ops.pallas_gru as pg
+    import hpmn_tpu.ops.pallas_readout as pr
+
+    pg._INTERPRET = True
+    pr._INTERPRET = True
+    try:
+        results = {}
+        for dt in ("float32", "bfloat16"):
+            # single-device: interpret-mode Pallas inside shard_map aborts
+            # on CPU for bf16 (XLA CPU issue; the compiled TPU path works)
+            cfg = _small_cfg(**{"model.use_pallas": True,
+                                "model.scan_dtype": dt,
+                                "mesh.enable": False,
+                                "train.max_steps": 150,
+                                "train.eval_every": 150})
+            results[dt] = train(cfg, log=lambda s: None)["test"]["auc"]
+        assert abs(results["bfloat16"] - results["float32"]) < 0.05, results
+    finally:
+        pg._INTERPRET = False
+        pr._INTERPRET = False
+
+
+@pytest.mark.slow
 def test_hpmn_beats_short_horizon_on_planted_task(monkeypatch):
     """The paper's headline contrast [P §5.2] on the planted long-range
     task: the label is decodable only from the EARLY history (the trailing
