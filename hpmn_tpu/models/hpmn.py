@@ -33,7 +33,7 @@ event ([P §4.5], ``hpmn_tpu.serving``).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp

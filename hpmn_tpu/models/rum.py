@@ -15,7 +15,7 @@ Realized as one ``lax.scan`` over T carrying the memory [B, K, d]:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ test harness (tests/test_distributed.py).
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import jax

@@ -89,7 +89,6 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
     row-sharded table gradients over "data" only. [B:5], SNIPPETS [S:36-49].
     """
     import dataclasses
-    import functools
 
     from jax.sharding import PartitionSpec as P
 

@@ -9,13 +9,10 @@ datasets generated synthetically when no preprocessed real data is supplied
 
 from __future__ import annotations
 
-import functools
 import time
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict
 
 import jax
-import jax.numpy as jnp
-import numpy as np
 import optax
 
 from ..configs import get_config
