@@ -78,29 +78,33 @@ def main():
     cfg.model.use_pallas = False
     results["oracle_masked_scan"] = _bench_train_step(cfg, params, batches,
                                                       n_steps=6)
-    # Hierarchical XLA path.
+    # Headline: hierarchical scans + fused Pallas kernels, bf16 VPU chain
+    # (full sequences: mask statically elided; MXU accumulates f32).
     cfg.model.use_hierarchical_scan = True
-    results["hierarchical_xla"] = _bench_train_step(cfg, params, batches)
-    # Hierarchical + fused Pallas kernels (full sequences: mask elided).
     cfg.model.use_pallas = True
     cfg.model.assume_full_mask = True
-    results["hierarchical_pallas"] = _bench_train_step(cfg, params, batches)
-    # Same with the bf16 VPU chain (MXU still accumulates f32).
     cfg.model.scan_dtype = "bfloat16"
     results["hierarchical_pallas_bf16"] = _bench_train_step(cfg, params,
                                                             batches)
-
-    for k, v in results.items():
-        print(f"# {k}: {v:,.0f} examples/s/chip", file=sys.stderr)
-
-    best = max(results["hierarchical_xla"], results["hierarchical_pallas"],
-               results["hierarchical_pallas_bf16"])
+    # Print the driver's JSON line as soon as the required measurements
+    # exist (compiles over the execution tunnel are slow; a timeout later
+    # must not lose the result).
+    best = results["hierarchical_pallas_bf16"]
     print(json.dumps({
         "metric": "xlong_hpmn_train_examples_per_sec_per_chip",
         "value": round(best, 1),
         "unit": "examples/s/chip",
         "vs_baseline": round(best / results["oracle_masked_scan"], 3),
-    }))
+    }), flush=True)
+
+    # Extra detail (stderr): f32 Pallas and plain-XLA hierarchical paths.
+    cfg.model.scan_dtype = "float32"
+    results["hierarchical_pallas_f32"] = _bench_train_step(cfg, params,
+                                                           batches)
+    cfg.model.use_pallas = False
+    results["hierarchical_xla"] = _bench_train_step(cfg, params, batches)
+    for k, v in results.items():
+        print(f"# {k}: {v:,.0f} examples/s/chip", file=sys.stderr)
 
 
 if __name__ == "__main__":
