@@ -70,3 +70,39 @@ def encode(params: Dict, x: jax.Array, mask: jax.Array, target: jax.Array,
                                  slot_mask=mask, return_weights=True)
     _, h_T = gru_seq_fn(params["augru"], h_seq, mask, alpha)
     return h_T, aux
+
+
+def encode_tm(params: Dict, x_tm: jax.Array, mask_tm: Optional[jax.Array],
+              target: jax.Array, x_neg_tm: Optional[jax.Array],
+              use_aux_loss: bool, gru_seq_tm_fn: Callable,
+              ) -> Tuple[jax.Array, jax.Array]:
+    """TIME-MAJOR DIEN for the fused-kernel hot path (same math as
+    :func:`encode`; tested for parity in tests/test_pallas.py).
+    x_tm [T,B,d], mask_tm [T,B] or None, target [B,d]."""
+    f32 = jnp.float32
+    h_seq_tm, _ = gru_seq_tm_fn(params["gru1"], x_tm, mask_tm)
+    hs = h_seq_tm.astype(f32)
+    aux = jnp.asarray(0.0, f32)
+    if use_aux_loss and x_neg_tm is not None:
+        hp = hs[:-1] @ params["aux_w"]  # [T-1, B, in_dim]
+        pos = jnp.einsum("tbd,tbd->tb", hp, x_tm[1:].astype(f32))
+        neg = jnp.einsum("tbd,tbd->tb", hp, x_neg_tm[1:].astype(f32))
+        per = (jnp.maximum(pos, 0) - pos + jnp.log1p(jnp.exp(-jnp.abs(pos)))
+               + jnp.maximum(neg, 0) + jnp.log1p(jnp.exp(-jnp.abs(neg))))
+        if mask_tm is None:
+            aux = jnp.mean(per)
+        else:
+            m = mask_tm[:-1] * mask_tm[1:]
+            aux = jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+    # Target attention over time (additive scoring, softmax over T).
+    att = params["attn"]
+    e = jnp.tanh(hs @ att["wm"]
+                 + (target @ att["wq"] + att["b"])[None, :, :])
+    scores = e @ att["v"]  # [T, B]
+    if mask_tm is not None:
+        scores = jnp.where(mask_tm > 0, scores, jnp.finfo(f32).min)
+    alpha = jax.nn.softmax(scores, axis=0)
+    if mask_tm is not None:
+        alpha = jnp.where(jnp.sum(mask_tm, 0, keepdims=True) > 0, alpha, 0.0)
+    _, h_T = gru_seq_tm_fn(params["augru"], h_seq_tm, mask_tm, alpha)
+    return h_T, aux

@@ -97,34 +97,46 @@ def apply_model(params: Dict, cfg, batch: Batch,
         lookup_fn = dense_lookup
     gru_seq_fn = _resolve_gru_seq_fn(cfg, gru_seq_fn)
     name = cfg.model.name
-    use_pallas_hpmn = (name == "hpmn" and cfg.model.use_pallas
-                      and cfg.model.use_hierarchical_scan)
+    # Time-major fused-kernel hot path: embeddings are gathered straight
+    # into [T, B, 2d] by transposing the int32 id arrays (cheap), so no
+    # activation transposes are ever materialized.
+    use_tm = cfg.model.use_pallas and (
+        (name == "hpmn" and cfg.model.use_hierarchical_scan)
+        or name in ("dien", "gru4rec"))
     emb = params["embedding"]
     q = lookup_fn(emb, batch.target_item, batch.target_cat)  # [B, 2d]
-    if not use_pallas_hpmn:
+    if not use_tm:
         x = lookup_fn(emb, batch.item_seq, batch.cat_seq)  # [B, T, 2d]
         mask = batch.seq_mask.astype(x.dtype)
-    aux: Dict = {}
-
-    if use_pallas_hpmn:
-        # Time-major hot path: gather embeddings straight into [T, B, 2d] by
-        # transposing the int32 id arrays (cheap), so no activation
-        # transposes are ever materialized; fused Pallas scan + readout.
+    else:
         import functools
 
         from ..ops.pallas_gru import pallas_gru_sequence_tm
-        from ..ops.pallas_readout import pallas_attention_readout
+        scan_tm = functools.partial(pallas_gru_sequence_tm,
+                                    dtype=jnp.dtype(cfg.model.scan_dtype))
         x_tm = lookup_fn(emb, batch.item_seq.T, batch.cat_seq.T)
         mask_tm = (None if cfg.model.assume_full_mask
                    else batch.seq_mask.T.astype(x_tm.dtype))
+    aux: Dict = {}
+
+    if use_tm and name == "hpmn":
+        from ..ops.pallas_readout import pallas_attention_readout
         memory = hpmn_mod.encode_hierarchical_tm(
             params["encoder"], x_tm, mask_tm, cfg.model.hpmn_period,
-            gru_seq_tm_fn=functools.partial(
-                pallas_gru_sequence_tm,
-                dtype=jnp.dtype(cfg.model.scan_dtype)))
+            gru_seq_tm_fn=scan_tm)
         memory = memory.astype(jnp.float32)
         aux["memory"] = memory
         state = pallas_attention_readout(params["readout"], memory, q)
+    elif use_tm and name == "dien":
+        x_neg_tm = lookup_fn(emb, batch.neg_item_seq.T, batch.neg_cat_seq.T)
+        state, aux_loss = dien_mod.encode_tm(
+            params["encoder"], x_tm, mask_tm, q, x_neg_tm,
+            cfg.model.dien_use_aux_loss, gru_seq_tm_fn=scan_tm)
+        state = state.astype(jnp.float32)
+        aux["aux_loss"] = aux_loss
+    elif use_tm and name == "gru4rec":
+        _, state = scan_tm(params["encoder"]["gru"], x_tm, mask_tm)
+        state = state.astype(jnp.float32)
     elif name == "hpmn":
         if cfg.model.use_hierarchical_scan:
             memory = hpmn_mod.encode_hierarchical(

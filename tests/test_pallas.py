@@ -107,14 +107,18 @@ def test_readout_kernel_matches_oracle():
     chex.assert_trees_all_close(g1, g2, atol=1e-4)
 
 
-def test_full_model_pallas_path():
-    """End-to-end HPMN loss/grad with use_pallas: matches the XLA path."""
-    cfg = get_config("taobao_hpmn")
+@pytest.mark.parametrize("config,name", [
+    ("taobao_hpmn", "hpmn"), ("taobao_dien", "dien"),
+    ("amazon_gru4rec", "gru4rec")])
+def test_full_model_pallas_path(config, name):
+    """End-to-end loss/grad with use_pallas (time-major fused path) matches
+    the XLA path for every encoder that has one."""
+    cfg = get_config(config)
     batch = to_device_arrays(dummy_batch(8, 24, 300, 30, seed=9))
     params = init_model(jax.random.key(0), cfg, 300, 30)
     cfg.model.use_pallas = False
     (l1, _), g1 = jax.value_and_grad(loss_fn, has_aux=True)(params, cfg, batch)
     cfg.model.use_pallas = True
     (l2, _), g2 = jax.value_and_grad(loss_fn, has_aux=True)(params, cfg, batch)
-    assert abs(float(l1) - float(l2)) < 1e-4
+    assert abs(float(l1) - float(l2)) < 1e-4, name
     chex.assert_trees_all_close(g1, g2, atol=5e-3, rtol=1e-3)
