@@ -102,6 +102,74 @@ def process_log(rows: Sequence[Tuple], seq_len: int, seed: int = 0,
     return arrays
 
 
+def process_events(uid: np.ndarray, item: np.ndarray, cat: np.ndarray,
+                   ts: np.ndarray, seq_len: int, seed: int = 0,
+                   min_events: int = 5) -> Dict[str, np.ndarray]:
+    """Vectorized example assembly from interned event arrays (the numpy
+    half of the native fast path — ``hpmn_tpu.data.native.parse_csv``
+    produces the inputs). Same scheme as :func:`process_log`: per-user
+    chronological sort, last behavior held out as the positive target,
+    preceding (up to) T behaviors left-padded, random-event negatives
+    (pairing each negative item with its true category)."""
+    rng = np.random.default_rng(seed)
+    order = np.lexsort((ts, uid))
+    u, it, ct = uid[order], item[order], cat[order]
+    n_rows = len(u)
+    change = np.flatnonzero(np.diff(u)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [n_rows]])
+    lens = ends - starts
+    keep = lens >= min_events
+    starts, ends, lens = starts[keep], ends[keep], lens[keep]
+    n = len(starts)
+    T = seq_len
+    hist_len = np.minimum(lens - 1, T)
+    col = np.arange(T)[None, :]
+    offset = col - (T - hist_len[:, None])
+    src = (ends - 1 - hist_len)[:, None] + offset
+    valid = offset >= 0
+    src_safe = np.where(valid, src, 0)
+    item_seq = np.where(valid, it[src_safe], 0).astype(np.int32)
+    cat_seq = np.where(valid, ct[src_safe], 0).astype(np.int32)
+    mask = valid.astype(np.float32)
+    uids_kept = u[starts].astype(np.int32)
+    pos_item, pos_cat = it[ends - 1], ct[ends - 1]
+    # Negatives = random real events, so each negative item keeps its true
+    # category (the reference samples items; event-sampling additionally
+    # follows the empirical popularity distribution).
+    neg_ev = rng.integers(0, n_rows, size=n)
+    neg_pos_ev = rng.integers(0, n_rows, size=(n, T))
+
+    def dup(a):
+        return np.concatenate([a, a])
+
+    return {
+        "uid": dup(uids_kept),
+        "item_seq": dup(item_seq),
+        "cat_seq": dup(cat_seq),
+        "seq_mask": dup(mask),
+        "target_item": np.concatenate([pos_item, it[neg_ev]]).astype(np.int32),
+        "target_cat": np.concatenate([pos_cat, ct[neg_ev]]).astype(np.int32),
+        "label": np.concatenate([np.ones(n), np.zeros(n)]).astype(np.float32),
+        "neg_item_seq": dup(it[neg_pos_ev].astype(np.int32)),
+        "neg_cat_seq": dup(ct[neg_pos_ev].astype(np.int32)),
+    }
+
+
+def process_csv_native(path: str, seq_len: int, behavior_col: int = -1,
+                       behavior_keep: str = "", seed: int = 0,
+                       min_events: int = 5) -> Dict[str, np.ndarray]:
+    """Native C++ parse (millions of rows/s) + vectorized assembly."""
+    from . import native
+
+    ev = native.parse_csv(path, behavior_col, behavior_keep)
+    arrays = process_events(ev["uid"], ev["item"], ev["cat"], ev["ts"],
+                            seq_len, seed=seed, min_events=min_events)
+    arrays["_n_items"] = np.asarray(ev["n_items"], np.int64)
+    arrays["_n_cats"] = np.asarray(ev["n_cats"], np.int64)
+    return arrays
+
+
 REQUIRED_KEYS = ("uid", "item_seq", "cat_seq", "seq_mask", "target_item",
                  "target_cat", "label", "neg_item_seq", "neg_cat_seq")
 

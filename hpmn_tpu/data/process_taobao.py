@@ -30,7 +30,9 @@ def load_rows(log_path: str, behavior_filter: str = "pv"):
 
 
 def main(argv=None):
-    from .preprocess import process_log, save_preprocessed
+    from . import native
+    from .preprocess import (process_csv_native, process_log,
+                             save_preprocessed)
     from .synthetic import TAOBAO
 
     p = argparse.ArgumentParser(description=__doc__)
@@ -40,9 +42,17 @@ def main(argv=None):
                    help="behavior type to keep ('' = all)")
     p.add_argument("--seq_len", type=int, default=TAOBAO.seq_len)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-native", action="store_true",
+                   help="force the pure-Python parser")
     args = p.parse_args(argv)
-    rows = load_rows(args.log, args.behavior)
-    arrays = process_log(rows, seq_len=args.seq_len, seed=args.seed)
+    if not args.no_native and native.available():
+        # C++ parse + vectorized assembly (SURVEY.md §3.1 hot loop).
+        arrays = process_csv_native(args.log, args.seq_len, behavior_col=3,
+                                    behavior_keep=args.behavior,
+                                    seed=args.seed)
+    else:
+        rows = load_rows(args.log, args.behavior)
+        arrays = process_log(rows, seq_len=args.seq_len, seed=args.seed)
     save_preprocessed(args.out, arrays)
     print(f"{args.out}: {arrays['label'].shape[0]} examples, "
           f"{int(arrays['_n_items'])} items, {int(arrays['_n_cats'])} cats")

@@ -47,10 +47,20 @@ def main(argv=None):
     p.add_argument("--seq_len", type=int, default=XLONG.seq_len)
     p.add_argument("--min_events", type=int, default=1000)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-native", action="store_true",
+                   help="force the pure-Python parser (required for 5-column"
+                        " logs with a behavior field)")
     args = p.parse_args(argv)
-    rows = load_rows(args.log, args.min_events)
-    arrays = process_log(rows, seq_len=args.seq_len, seed=args.seed,
-                         min_events=args.min_events)
+    from . import native
+    from .preprocess import process_csv_native
+
+    if not args.no_native and native.available():
+        arrays = process_csv_native(args.log, args.seq_len, seed=args.seed,
+                                    min_events=args.min_events)
+    else:
+        rows = load_rows(args.log, args.min_events)
+        arrays = process_log(rows, seq_len=args.seq_len, seed=args.seed,
+                             min_events=args.min_events)
     save_preprocessed(args.out, arrays)
     print(f"{args.out}: {arrays['label'].shape[0]} examples, "
           f"{int(arrays['_n_items'])} items, {int(arrays['_n_cats'])} cats")
