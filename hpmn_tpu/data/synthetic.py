@@ -60,14 +60,11 @@ def _item_to_cat(items: np.ndarray, n_items: int, n_cats: int) -> np.ndarray:
     return np.where(items == 0, 0, cats)
 
 
-def _sample_items_for_cats(rng, cats: np.ndarray, n_items: int, n_cats: int,
-                           tries: int = 1) -> np.ndarray:
-    """Sample item ids whose category equals ``cats`` (rejection-free trick).
-
-    Items with cat c are {i : hash(i) == c}; instead of inverting the hash we
-    draw a random base item and shift until the category matches, exploiting
-    that cat(i) is equidistributed: we pre-draw per-category candidate pools.
-    """
+def _sample_items_for_cats(rng, cats: np.ndarray,
+                           n_items: int, n_cats: int) -> np.ndarray:
+    """Sample item ids whose category equals ``cats``, rejection-free:
+    items are grouped into per-category pools once (sort by the hash
+    category, searchsorted boundaries) and uniform draws index each pool."""
     # Build (lazily cached) per-category pools.
     global _POOLS
     key = (n_items, n_cats)
