@@ -77,10 +77,16 @@ def base_config() -> ml_collections.ConfigDict:
     return c
 
 
+# Hierarchy-reach rule (measured, STATUS.md): the top layer's period must
+# cover a sizable fraction of T (~T/3) or long-range signal cannot reach the
+# final memory within a practical training budget — a 3-layer/period-3 stack
+# (reach 9) sits at chance on a T=300 long-range task while reach>=81 learns.
+
+
 def _amazon(c):
     c.dataset = "amazon"
-    c.model.hpmn_layers = 4  # covers T=100 at period 3: 1,3,9,27
-    c.model.hpmn_period = 3
+    c.model.hpmn_layers = 4  # T=100: periods 1,4,16,64
+    c.model.hpmn_period = 4
     c.loss.l2_weight = 1e-4
     return c
 
@@ -95,8 +101,8 @@ def _taobao(c):
 
 def _xlong(c):
     c.dataset = "xlong"
-    c.model.hpmn_layers = 6  # T=1000: periods 1,4,16,64,256,1024→cap
-    c.model.hpmn_period = 4
+    c.model.hpmn_layers = 6  # T=1000: periods 1,3,...,243 (all layers fire;
+    c.model.hpmn_period = 3  # period 4 would leave the 1024-period top dead)
     c.loss.l2_weight = 1e-5
     c.train.batch_size = 128
     return c
@@ -111,10 +117,14 @@ def amazon_hpmn() -> ml_collections.ConfigDict:
 
 
 def taobao_hpmn() -> ml_collections.ConfigDict:
-    """[B:8] HPMN 3-layer periodic memory, Taobao (T=300)."""
+    """[B:8] HPMN 3-layer periodic memory, Taobao (T=300). With only three
+    layers the period must be large for the hierarchy to reach the horizon:
+    1, 10, 100 (see the reach rule above; period 3 reach=9 is at chance on
+    the planted long-range task, period 10 learns it)."""
     c = _taobao(base_config())
     c.model.name = "hpmn"
     c.model.hpmn_layers = 3
+    c.model.hpmn_period = 10
     return c
 
 
