@@ -35,6 +35,13 @@ class DataLoader:
         n = arrays["label"].shape[0]
         # Per-host static shard of the example axis.
         self._local_idx = np.arange(process_index, n, process_count)
+        if shuffle and drop_remainder and len(self._local_idx) < batch_size:
+            # Would otherwise spin forever yielding nothing (0 full batches).
+            raise ValueError(
+                f"local shard has {len(self._local_idx)} examples < "
+                f"batch_size={batch_size} (n={n}, "
+                f"process_count={process_count}); shrink the batch or "
+                f"grow the dataset")
         self.epoch = 0
         self.step = 0  # step within epoch
 

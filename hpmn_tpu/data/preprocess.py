@@ -195,4 +195,14 @@ def load_preprocessed(data_dir: str, spec: DatasetSpec,
     if T != spec.seq_len:
         raise ValueError(
             f"{path}: sequence length {T} != spec T={spec.seq_len}")
+    # Real vocab sizes: the caller must size the embedding tables from
+    # these, NOT from the synthetic stand-in spec (whose vocabs are
+    # scaled-down placeholders) — otherwise out-of-range ids silently clamp.
+    for key, id_keys in (("_n_items", ("item_seq", "target_item")),
+                         ("_n_cats", ("cat_seq", "target_cat"))):
+        if key in z:
+            arrays[key] = np.asarray(int(z[key]), np.int64)
+        else:
+            arrays[key] = np.asarray(
+                max(int(arrays[k].max()) for k in id_keys) + 1, np.int64)
     return arrays

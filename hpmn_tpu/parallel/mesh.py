@@ -66,6 +66,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch) -> Any:
-    """Place a host-local Batch onto the mesh with data-axis sharding."""
+    """Place a host-local Batch onto the mesh with data-axis sharding.
+
+    Multi-host: each process holds a DIFFERENT local batch (the DataLoader
+    shards by process), so the global array must be assembled from the
+    per-process pieces — plain device_put would treat every host's distinct
+    local batch as the same global array and silently drop (P-1)/P of the
+    loaded rows. Global batch = per-host batch x process_count.
+    """
     shardings = batch_sharding(mesh)
-    return jax.tree.map(jax.device_put, batch, shardings)
+    if jax.process_count() == 1:
+        return jax.tree.map(jax.device_put, batch, shardings)
+    return jax.tree.map(
+        lambda a, s: jax.make_array_from_process_local_data(s, np.asarray(a)),
+        batch, shardings)

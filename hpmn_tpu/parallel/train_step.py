@@ -137,9 +137,27 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
 
     def jit_train(params, opt_state):
         ps, os_ = param_specs(params), param_specs(opt_state)
-        return jax.jit(jax.shard_map(
-            _train, mesh=mesh, in_specs=(ps, os_, batch_spec),
-            out_specs=(ps, os_, P()), check_vma=False))
+        sm = jax.shard_map(_train, mesh=mesh, in_specs=(ps, os_, batch_spec),
+                           out_specs=(ps, os_, P()), check_vma=False)
+
+        @jax.jit
+        def step(p, o, b):
+            # Inside shard_map each model-shard's l2 sees only its table
+            # rows, undercounting the reported loss/l2 (gradients are
+            # unaffected: d l2_local/d shard == the full objective's).
+            # Recompute l2 on the global sharded arrays for exact metrics.
+            if cfg.loss.l2_weight > 0:
+                from ..models.losses import l2_regularizer
+
+                l2_true = l2_regularizer(p)
+            p2, o2, m = sm(p, o, b)
+            if cfg.loss.l2_weight > 0:
+                m = dict(m)
+                m["loss"] = m["loss"] + cfg.loss.l2_weight * (l2_true - m["l2"])
+                m["l2"] = l2_true
+            return p2, o2, m
+
+        return step
 
     def jit_eval(params):
         return jax.jit(jax.shard_map(

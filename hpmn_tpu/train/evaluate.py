@@ -25,7 +25,7 @@ def evaluate(eval_step: Callable, params, loader: DataLoader) -> Dict[str, float
     (SURVEY.md §5.5)."""
     all_logits, all_labels = [], []
     for batch, n_valid in loader.one_epoch():
-        logits = np.asarray(jax.device_get(eval_step(params, batch)))
+        logits = _local_rows(eval_step(params, batch), batch.batch_size)
         all_logits.append(logits[:n_valid])
         all_labels.append(np.asarray(batch.label)[:n_valid])
     logits = np.concatenate(all_logits) if all_logits else np.zeros((0,))
@@ -37,6 +37,29 @@ def evaluate(eval_step: Callable, params, loader: DataLoader) -> Dict[str, float
         "log_loss": M.log_loss(logits, labels),
         "n": float(len(labels)),
     }
+
+
+def _local_rows(arr, n_local: int) -> np.ndarray:
+    """THIS host's rows of a per-batch model output.
+
+    Single host: the whole array. Multi-host replicated output: the global
+    batch is assembled process-contiguously (mesh devices are ordered by
+    process), so this host's slice is [p*n_local, (p+1)*n_local). Multi-host
+    data-sharded output (shard_map eval): collect the addressable shards,
+    deduplicating model-axis replicas by their global row offset.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(arr))
+    if getattr(arr, "is_fully_addressable", True):
+        g = np.asarray(jax.device_get(arr))
+        p = jax.process_index()
+        return g[p * n_local:(p + 1) * n_local]
+    seen = {}
+    for s in arr.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in seen:
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)])[:n_local]
 
 
 def _merge_across_hosts(logits: np.ndarray, labels: np.ndarray):

@@ -26,11 +26,18 @@ from .checkpoint import CheckpointManager
 
 def make_datasets(cfg):
     """Synthetic by default; real preprocessed arrays when cfg.data_dir is
-    set (the loader accepts the real format when present, SURVEY.md §7)."""
+    set (the loader accepts the real format when present, SURVEY.md §7).
+    With real data the returned spec carries the REAL vocab sizes from the
+    npz, so embedding tables are sized to the data, not to the synthetic
+    stand-in spec."""
+    import dataclasses
+
     spec = SPECS[cfg.dataset]
     if cfg.data_dir:
         from ..data import preprocess
         arrays = preprocess.load_preprocessed(cfg.data_dir, spec)
+        spec = dataclasses.replace(spec, n_items=int(arrays.pop("_n_items")),
+                                   n_cats=int(arrays.pop("_n_cats")))
     else:
         gen = (make_periodic_dataset if cfg.synthetic_task == "periodic"
                else make_ctr_dataset)
@@ -92,8 +99,12 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     train_loader = DataLoader(train_arrays, cfg.train.batch_size, shuffle=True,
                               seed=cfg.seed, process_index=pidx,
                               process_count=pcnt)
-    val_loader = DataLoader(val_arrays, cfg.eval_batch_size, shuffle=False)
-    test_loader = DataLoader(test_arrays, cfg.eval_batch_size, shuffle=False)
+    # Eval is sharded per host too; evaluate() merges across hosts
+    # (SURVEY.md §5.5).
+    val_loader = DataLoader(val_arrays, cfg.eval_batch_size, shuffle=False,
+                            process_index=pidx, process_count=pcnt)
+    test_loader = DataLoader(test_arrays, cfg.eval_batch_size, shuffle=False,
+                             process_index=pidx, process_count=pcnt)
 
     tx = make_optimizer(cfg)
     use_mesh = (cfg.mesh.model_parallel > 1 or len(jax.devices()) > 1) \
@@ -111,8 +122,10 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             cfg.mesh.embedding_mode = "psum"
         params = init_sharded_model(jax.random.key(cfg.seed), cfg,
                                     spec.n_items, spec.n_cats, mesh)
-        opt_state = jax.device_put(tx.init(params),
-                                   param_shardings(mesh, tx.init(params)))
+        # Derive opt-state shardings from abstract shapes (no second
+        # materialization of Adam's mu/nu).
+        opt_shardings = param_shardings(mesh, jax.eval_shape(tx.init, params))
+        opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
         # GSPMD cannot partition Pallas custom calls — use the explicit
         # shard_map step so the kernels run on local shards.
         make_steps = (make_shardmap_steps if cfg.model.use_pallas
@@ -133,6 +146,7 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         place = lambda b: jax.tree.map(jax.device_put, b)
 
     mngr = None
+    start_step = 0
     if cfg.train.ckpt_dir:
         mngr = CheckpointManager(cfg.train.ckpt_dir, cfg.train.keep_best_k)
         restored = mngr.restore(template={
@@ -141,7 +155,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         if restored is not None:
             params, opt_state = restored["params"], restored["opt_state"]
             train_loader.load_state_dict(restored["loader"])
-            log(f"resumed from step {restored['step']}")
+            start_step = int(restored["step"])
+            log(f"resumed from step {start_step}")
 
     writer = None
     if cfg.train.log_dir and jax.process_index() == 0:
@@ -150,7 +165,7 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
 
     best_auc, best_step, evals_since_best = -1.0, -1, 0
     history = []
-    step = 0
+    step = start_step
     t_last, n_since = time.time(), 0
     it = prefetch_to_device(iter(train_loader), place)
     profiling = False

@@ -63,6 +63,46 @@ def test_save_restore_resumes_identically(setup, tmp_path):
     mngr2.close()
 
 
+def test_train_resume_continues_from_restored_step(tmp_path, monkeypatch):
+    """A preempted run must resume AT the restored step, not restart the
+    whole budget (and not re-save at already-used step numbers, which orbax
+    silently skips)."""
+    from hpmn_tpu.configs import get_config
+    from hpmn_tpu.train.train import train
+
+    cfg = get_config("amazon_hpmn")
+    cfg.n_examples = 400
+    cfg.model.hpmn_layers = 1
+    cfg.train.batch_size = 16
+    cfg.train.max_steps = 6
+    cfg.train.eval_every = 3
+    cfg.train.log_every = 1000
+    cfg.train.ckpt_dir = str(tmp_path / "ckpt")
+    logs = []
+    train(cfg, log=logs.append)
+
+    # "Preempted" restart with a LARGER budget: must resume at 6, train only
+    # the remaining 6 steps, and its evals continue past the old ones.
+    cfg2 = get_config("amazon_hpmn")
+    cfg2.n_examples = 400
+    cfg2.model.hpmn_layers = 1
+    cfg2.train.batch_size = 16
+    cfg2.train.max_steps = 12
+    cfg2.train.eval_every = 3
+    cfg2.train.log_every = 1000
+    cfg2.train.ckpt_dir = str(tmp_path / "ckpt")
+    logs2 = []
+    res = train(cfg2, log=logs2.append)
+    # Resumes from the newest SAVED checkpoint (saves happen on best-val
+    # improvement, so the resume step is 3 or 6 depending on the step-6
+    # eval), and continues from there rather than restarting at 0.
+    resumed = [int(s.rsplit(" ", 1)[1]) for s in logs2 if "resumed" in s]
+    assert resumed and resumed[0] in (3, 6), logs2[:3]
+    steps = [h["step"] for h in res["history"]]
+    expected = [s for s in (6, 9, 12) if s > resumed[0]]
+    assert steps == expected, (steps, resumed)
+
+
 def test_best_k_by_val_auc(setup, tmp_path):
     cfg, arrays, params, tx = setup
     opt = tx.init(params)

@@ -66,6 +66,23 @@ labels = (rng2.random(n_local) > 0.5).astype(np.float64)
 gl, gy = _merge_across_hosts(logits, labels)
 assert len(gl) == 20, len(gl)
 print(f"proc {pid} global_auc {auc(gl, gy):.10f}")
+
+# Full mini train+eval through the multi-host path: per-process loader
+# shards assembled into global batches (make_array_from_process_local_data),
+# per-host eval shards merged into one global metric.
+from hpmn_tpu.configs import get_config
+from hpmn_tpu.train.train import train
+cfg = get_config("amazon_hpmn")
+cfg.n_examples = 600
+cfg.model.hpmn_layers = 1
+cfg.train.batch_size = 8   # per host -> global 16 over the 2x2 mesh
+cfg.eval_batch_size = 16
+cfg.train.max_steps = 6
+cfg.train.eval_every = 3
+cfg.train.log_every = 10**9
+res = train(cfg, log=lambda s: None)
+print(f"proc {pid} train_auc {res['test']['auc']:.10f} "
+      f"n {res['test']['n']:.0f}")
 print(f"proc {pid} OK")
 """
 
@@ -91,8 +108,17 @@ def test_two_process_mesh(tmp_path):
     assert any("proc 1 OK" in o for o in outs)
     # Both hosts computed the identical merged global AUC.
     aucs = set()
+    train_aucs = set()
+    ns = set()
     for o in outs:
         for line in o.splitlines():
             if "global_auc" in line:
                 aucs.add(line.split()[-1])
+            if "train_auc" in line:
+                train_aucs.add(line.split()[3])
+                ns.add(line.split()[5])
     assert len(aucs) == 1, aucs
+    # The end-to-end run reported one identical global test metric per host,
+    # over the full (un-duplicated) test set.
+    assert len(train_aucs) == 1, train_aucs
+    assert ns == {"60"}, ns  # 10% of 600 examples, counted once
