@@ -91,6 +91,31 @@ class UserMemoryStore:
             self._counter[int(u)] = int(cnt[i])
 
     # -------------------------------------------------------- operations --
+    def ingest_histories(self, uids, item_seqs, cat_seqs, masks=None) -> None:
+        """Bootstrap many users' memories from full histories in ONE batched
+        encode (the deployment cold-start path): mathematically identical to
+        replaying each history through :meth:`update` event by event, but
+        O(T) batched device work instead of T host round-trips.
+
+        item_seqs/cat_seqs: [B, T] left-padded int32; masks: [B, T] or None
+        (full histories). Overwrites any existing state for these users.
+        """
+        from ..models.hpmn import encode_oracle
+
+        item_seqs = jnp.asarray(item_seqs)
+        cat_seqs = jnp.asarray(cat_seqs)
+        B, T = item_seqs.shape
+        m = (jnp.ones((B, T), jnp.float32) if masks is None
+             else jnp.asarray(masks, jnp.float32))
+        x = dense_lookup(self.params["embedding"], item_seqs, cat_seqs)
+        mem = encode_oracle(self.params["encoder"], x, m, self.period)
+        # Training fires layers on the ARRAY-position grid of the left-padded
+        # [T] window, so the counter continues from T (not the event count):
+        # future incremental updates stay on the training-aligned grid. For
+        # full-length (lifelong) histories the two coincide.
+        counts = np.full((len(item_seqs),), T, np.int64)
+        self._scatter(np.asarray(uids), mem, counts)
+
     def update(self, uids, item_ids, cat_ids) -> None:
         """Ingest one new behavior per listed user (O(1) amortized each)."""
         uids = np.asarray(uids)

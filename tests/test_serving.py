@@ -41,6 +41,36 @@ def test_incremental_equals_oracle():
     chex.assert_trees_all_close(mem_store, mem_oracle, atol=1e-5)
 
 
+def test_bulk_ingest_equals_incremental_replay():
+    """ingest_histories (one batched encode) == replaying the same events
+    through update() one at a time, including the continued firing grid."""
+    cfg, params = _setup()
+    rng = np.random.default_rng(7)
+    B, T = 3, 18
+    items = rng.integers(1, N_ITEMS, size=(B, T)).astype(np.int32)
+    cats = (items % N_CATS).astype(np.int32)
+
+    inc = UserMemoryStore(cfg, params)
+    uids = np.arange(B)
+    for t in range(T):
+        inc.update(uids, items[:, t], cats[:, t])
+
+    bulk = UserMemoryStore(cfg, params)
+    bulk.ingest_histories(uids, items, cats)
+
+    m1, c1 = inc._gather(uids)
+    m2, c2 = bulk._gather(uids)
+    chex.assert_trees_all_close(m1, m2, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+    # ...and one more incremental event continues identically on both.
+    nxt_i = rng.integers(1, N_ITEMS, size=B).astype(np.int32)
+    inc.update(uids, nxt_i, (nxt_i % N_CATS).astype(np.int32))
+    bulk.update(uids, nxt_i, (nxt_i % N_CATS).astype(np.int32))
+    chex.assert_trees_all_close(inc._gather(uids)[0], bulk._gather(uids)[0],
+                                atol=1e-5)
+
+
 def test_predict_matches_training_forward():
     cfg, params = _setup()
     rng = np.random.default_rng(1)
