@@ -48,6 +48,11 @@ def base_config() -> ml_collections.ConfigDict:
     # Caser / SHAN knobs
     c.model.caser_hfilters = 4
     c.model.caser_vfilters = 4
+    c.model.shan_recent = 10  # SHAN short-term window length
+    # Optional user-id embedding into the tower (SURVEY.md §2.1 tower row:
+    # [read/state; target-emb (; user-emb)]); adds a row-shardable
+    # [n_users, emb_dim] table.
+    c.model.use_user_emb = False
 
     c.loss = ml_collections.ConfigDict()
     c.loss.cov_weight = 0.1  # HPMN slot-decorrelation [P §4.4]

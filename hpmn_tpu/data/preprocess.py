@@ -99,6 +99,7 @@ def process_log(rows: Sequence[Tuple], seq_len: int, seed: int = 0,
     }
     arrays["_n_items"] = np.asarray(n_items, np.int64)
     arrays["_n_cats"] = np.asarray(len(cat_vocab) + 1, np.int64)
+    arrays["_n_users"] = np.asarray(int(arrays["uid"].max()) + 1, np.int64)
     return arrays
 
 
@@ -167,6 +168,7 @@ def process_csv_native(path: str, seq_len: int, behavior_col: int = -1,
                             seq_len, seed=seed, min_events=min_events)
     arrays["_n_items"] = np.asarray(ev["n_items"], np.int64)
     arrays["_n_cats"] = np.asarray(ev["n_cats"], np.int64)
+    arrays["_n_users"] = np.asarray(ev["n_users"], np.int64)
     return arrays
 
 
@@ -199,7 +201,8 @@ def load_preprocessed(data_dir: str, spec: DatasetSpec,
     # these, NOT from the synthetic stand-in spec (whose vocabs are
     # scaled-down placeholders) — otherwise out-of-range ids silently clamp.
     for key, id_keys in (("_n_items", ("item_seq", "target_item")),
-                         ("_n_cats", ("cat_seq", "target_cat"))):
+                         ("_n_cats", ("cat_seq", "target_cat")),
+                         ("_n_users", ("uid",))):
         if key in z:
             arrays[key] = np.asarray(int(z[key]), np.int64)
         else:

@@ -16,10 +16,12 @@ q [B,d]) -> state [B, d_state], consumed by the shared PReLU tower.
 - SHAN: two-layer hierarchical attention — attention-pool the long-term
   prefix, then attention over [long-term read ; recent window] — with the
   target embedding as query.
-- SVD++-style: latent-factor dot product enriched with the pooled implicit
-  feedback; realized here as pooled-behavior state with the dot product
-  delegated to the shared tower (the CTR adaptation of SVD++ used by the
-  paper's comparisons).
+- SVD++: per-user latent factors p_u plus the |N(u)|^-1/2-normalized
+  implicit-feedback sum over the behavior embeddings (Koren 2008, the CTR
+  adaptation the paper compares against): state = [p_u ; |N|^-1/2 sum_t x_t],
+  with the q.(p_u + implicit) interaction delegated to the shared tower.
+  Distinct from DNN both in parameters (a [n_users, d] latent table) and in
+  normalization (1/sqrt|N| vs 1/|N| mean pooling).
 """
 
 from __future__ import annotations
@@ -86,7 +88,11 @@ def _caser_init(key, cfg, d_in, dtype):
     for k, w in zip(keys[:-1], CASER_WINDOWS):
         s = (6.0 / (w * d_in + n_h)) ** 0.5
         hor.append(jax.random.uniform(k, (w, d_in, n_h), dtype, -s, s))
-    T_max = 1024  # vertical filters are over the (padded) time axis
+    # Vertical filters span the time axis; sized to the dataset's max
+    # sequence length (sliced to the batch's T at apply time).
+    from ..data.synthetic import SPECS
+
+    T_max = SPECS[cfg.dataset].seq_len
     vert = jax.random.normal(keys[-1], (T_max, n_v), dtype) * T_max ** -0.5
     return {"hor": hor, "vert": vert}
 
@@ -123,13 +129,35 @@ def _shan_encode(p, x, mask, q, recent: int = 10):
     return attention_readout(p["attn_hybrid"], hybrid, q, slot_mask=hmask)
 
 
+# --------------------------------------------------------------- SVD++ ----
+
+def _svdpp_init(key, n_users, d_in, dtype):
+    """Per-user latent factors p_u [n_users, d_in] (Koren 2008 SVD++,
+    [P §5.1.3]). The implicit-feedback item factors y_j are tied to the
+    behavior embeddings (the standard CTR adaptation)."""
+    return {"p_u": jax.random.normal(key, (n_users, d_in), dtype)
+            * d_in ** -0.5}
+
+
+def _svdpp_encode(p, x, mask, uid):
+    from ..ops.embedding_agg import take_rows
+
+    implicit = jnp.einsum("btd,bt->bd", x, mask)
+    implicit = implicit * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(mask, -1, keepdims=True), 1.0))
+    p_u = take_rows(p["p_u"], uid)  # [B, d_in]
+    return jnp.concatenate([p_u, implicit], axis=-1)
+
+
 # ------------------------------------------------------------ dispatch ----
 
 def init_encoder(key: jax.Array, name: str, cfg, d_in: int,
-                 dtype) -> Tuple[Dict, int]:
+                 dtype, n_users: int = 0) -> Tuple[Dict, int]:
     d_m = cfg.model.mem_dim
-    if name == "dnn" or name == "svdpp":
+    if name == "dnn":
         return {}, d_in  # pooled embedding is the state
+    if name == "svdpp":
+        return _svdpp_init(key, n_users, d_in, dtype), 2 * d_in
     if name == "lstm":
         return _lstm_init(key, d_in, d_m, dtype), d_m
     if name == "caser":
@@ -142,13 +170,16 @@ def init_encoder(key: jax.Array, name: str, cfg, d_in: int,
 
 
 def encode(params: Dict, name: str, cfg, x: jax.Array, mask: jax.Array,
-           q: jax.Array) -> jax.Array:
-    if name == "dnn" or name == "svdpp":
+           q: jax.Array, uid: jax.Array = None) -> jax.Array:
+    if name == "dnn":
         return _masked_mean(x, mask)
+    if name == "svdpp":
+        return _svdpp_encode(params, x, mask, uid)
     if name == "lstm":
         return _lstm_seq(params, x, mask)
     if name == "caser":
         return _caser_encode(params, x, mask)
     if name == "shan":
-        return _shan_encode(params, x, mask, q)
+        return _shan_encode(params, x, mask, q,
+                            recent=cfg.model.shan_recent)
     raise ValueError(f"unknown encoder {name!r}")

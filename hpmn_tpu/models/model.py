@@ -37,15 +37,22 @@ def _dtype(cfg):
     return jnp.dtype(cfg.model.dtype)
 
 
-def init_model(key: jax.Array, cfg, n_items: int, n_cats: int) -> Dict:
+def init_model(key: jax.Array, cfg, n_items: int, n_cats: int,
+               n_users: int = 0) -> Dict:
     dtype = _dtype(cfg)
     name = cfg.model.name
     d_beh = 2 * cfg.model.emb_dim  # concat(item, cat) behavior embedding
     d_m = cfg.model.mem_dim
     ke, kenc, kr, kt = jax.random.split(key, 4)
+    use_user = bool(getattr(cfg.model, "use_user_emb", False))
+    if (use_user or name == "svdpp") and n_users <= 0:
+        raise ValueError(
+            f"{'use_user_emb' if use_user else 'svdpp'} needs n_users > 0 "
+            "passed to init_model (the dataset spec's user-vocab size)")
     params: Dict = {
         "embedding": init_embedding(ke, n_items, n_cats, cfg.model.emb_dim,
-                                    dtype),
+                                    dtype,
+                                    n_users=n_users if use_user else 0),
     }
     if name == "hpmn":
         params["encoder"] = hpmn_mod.init_hpmn(kenc, d_beh, d_m,
@@ -67,10 +74,28 @@ def init_model(key: jax.Array, cfg, n_items: int, n_cats: int) -> Dict:
     else:
         from . import extra_baselines
         params["encoder"], d_state = extra_baselines.init_encoder(
-            kenc, name, cfg, d_beh, dtype)
-    params["tower"] = init_tower(kt, d_beh + d_state, cfg.model.tower_hidden,
+            kenc, name, cfg, d_beh, dtype, n_users=n_users)
+    d_tower_in = d_beh + d_state
+    if use_user:
+        # Optional user-embedding tower input (SURVEY.md §2.1 tower row:
+        # [read/state; target-emb (; user-emb)]), row-shardable like the
+        # id tables.
+        d_tower_in += cfg.model.emb_dim
+    params["tower"] = init_tower(kt, d_tower_in, cfg.model.tower_hidden,
                                  dtype)
     return params
+
+
+def _user_lookup(lookup_fn, emb: Dict, uid: jax.Array) -> jax.Array:
+    """User-table gather [B] -> [B, emb_dim]. Sharded lookup factories attach
+    a ``.user`` collective (row-sharded table over "model"); the dense path
+    gathers directly."""
+    f = getattr(lookup_fn, "user", None)
+    if f is not None:
+        return f(emb, uid)
+    from ..ops.embedding_agg import take_rows
+
+    return take_rows(emb["user"], uid)
 
 
 def _resolve_gru_seq_fn(cfg, gru_seq_fn):
@@ -160,9 +185,14 @@ def apply_model(params: Dict, cfg, batch: Batch,
         state = rum_mod.encode(params["encoder"], x, mask, q)
     else:
         from . import extra_baselines
-        state = extra_baselines.encode(params["encoder"], name, cfg, x, mask, q)
+        state = extra_baselines.encode(params["encoder"], name, cfg, x, mask,
+                                       q, uid=batch.uid)
 
-    logits = apply_tower(params["tower"], jnp.concatenate([q, state], -1))
+    tower_in = [q, state]
+    if getattr(cfg.model, "use_user_emb", False):
+        tower_in.append(_user_lookup(lookup_fn, params["embedding"],
+                                     batch.uid))
+    logits = apply_tower(params["tower"], jnp.concatenate(tower_in, -1))
     return logits, aux
 
 

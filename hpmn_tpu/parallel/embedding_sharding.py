@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
+from ..ops.embedding_agg import SMALL_VOCAB_MAX, matmul_agg
 from .mesh import DATA_AXIS, MODEL_AXIS
 
 
@@ -119,6 +120,13 @@ def local_lookup_fn(n_shards: int, mode: str = "psum") -> Callable:
         shard = jax.lax.axis_index(MODEL_AXIS)
         local = flat - shard * rows_per
         mine = (local >= 0) & (local < rows_per)
+        if rows_per <= SMALL_VOCAB_MAX:
+            # MXU aggregation; rows owned by other shards are dropped by
+            # clamping their ids to the out-of-range sentinel (no masking
+            # pass over the cotangent needed).
+            ids_local = jnp.where(mine, local, rows_per).astype(jnp.int32)
+            dt = matmul_agg(ids_local, g.astype(jnp.float32), rows_per)
+            return dt.astype(g.dtype), None
         safe = jnp.clip(local, 0, rows_per - 1)
         dt = jnp.zeros((rows_per, g.shape[-1]), g.dtype)
         dt = dt.at[safe].add(jnp.where(mine[:, None], g, 0))
@@ -134,6 +142,9 @@ def local_lookup_fn(n_shards: int, mode: str = "psum") -> Callable:
         return jnp.concatenate([one_table(emb["item"], item_ids),
                                 one_table(emb["cat"], cat_ids)], axis=-1)
 
+    # Optional user-table collective (models.model._user_lookup contract):
+    # same row-sharded exchange, one table.
+    lookup.user = lambda emb, uid: one_table(emb["user"], uid)
     return lookup
 
 
@@ -181,4 +192,13 @@ def make_sharded_lookup(mesh: Mesh, mode: str = "psum") -> Callable:
         out = lookup_flat(emb, item_ids.reshape(-1), cat_ids.reshape(-1))
         return out.reshape(*shape, -1)
 
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(P(MODEL_AXIS, None), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS), check_vma=False)
+    def user_flat(table, ids):
+        return one_table(table, ids)
+
+    lookup.user = lambda emb, uid: user_flat(emb["user"], uid.reshape(-1)
+                                             ).reshape(*uid.shape, -1)
     return lookup

@@ -24,12 +24,14 @@ from .mesh import (DATA_AXIS, MODEL_AXIS, batch_sharding, param_shardings,
                    replicated)
 
 
-def init_sharded_model(key, cfg, n_items: int, n_cats: int, mesh: Mesh):
+def init_sharded_model(key, cfg, n_items: int, n_cats: int, mesh: Mesh,
+                       n_users: int = 0):
     """init_model with vocab padded to the model-shard count, placed onto the
-    mesh with row-sharded tables."""
+    mesh with row-sharded tables (user table included when enabled)."""
     n_shards = mesh.shape[MODEL_AXIS]
     params = init_model(key, cfg, pad_vocab(n_items, n_shards),
-                        pad_vocab(n_cats, n_shards))
+                        pad_vocab(n_cats, n_shards),
+                        n_users=pad_vocab(n_users, n_shards))
     return jax.device_put(params, param_shardings(mesh, params))
 
 

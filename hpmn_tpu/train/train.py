@@ -37,7 +37,8 @@ def make_datasets(cfg):
         from ..data import preprocess
         arrays = preprocess.load_preprocessed(cfg.data_dir, spec)
         spec = dataclasses.replace(spec, n_items=int(arrays.pop("_n_items")),
-                                   n_cats=int(arrays.pop("_n_cats")))
+                                   n_cats=int(arrays.pop("_n_cats")),
+                                   n_users=int(arrays.pop("_n_users")))
     else:
         gen = (make_periodic_dataset if cfg.synthetic_task == "periodic"
                else make_ctr_dataset)
@@ -121,7 +122,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 cfg.mesh.embedding_mode == "replicated":
             cfg.mesh.embedding_mode = "psum"
         params = init_sharded_model(jax.random.key(cfg.seed), cfg,
-                                    spec.n_items, spec.n_cats, mesh)
+                                    spec.n_items, spec.n_cats, mesh,
+                                    n_users=spec.n_users)
         # Derive opt-state shardings from abstract shapes (no second
         # materialization of Adam's mu/nu).
         opt_shardings = param_shardings(mesh, jax.eval_shape(tx.init, params))
@@ -139,7 +141,7 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             f"embedding_mode={cfg.mesh.embedding_mode}")
     else:
         params = init_model(jax.random.key(cfg.seed), cfg, spec.n_items,
-                            spec.n_cats)
+                            spec.n_cats, n_users=spec.n_users)
         opt_state = tx.init(params)
         train_step = make_train_step(cfg, tx, lookup_fn, gru_seq_fn)
         eval_step = make_eval_step(cfg, lookup_fn, gru_seq_fn)
