@@ -40,23 +40,34 @@ def _make_batches(cfg, spec, n_batches, batch_size):
     ]
 
 
-def _bench_train_step(cfg, params, batches, n_steps=12, warmup=2):
-    from hpmn_tpu.train.train import make_train_step
+def _bench_train_step(cfg, params, batches, n_dispatch=3, warmup=2, k=8):
+    """Times the production driver path: ``make_multistep_train`` with
+    ``train.steps_per_dispatch = k`` (k fused steps per dispatch via
+    lax.scan — what `train.py` runs when the config sets it). Measures
+    n_dispatch * k steps; both the oracle baseline and the headline go
+    through the same harness so the ratio stays structural."""
+    import jax.numpy as jnp
+
+    from hpmn_tpu.train.train import make_multistep_train
 
     tx = optax.adam(cfg.train.lr)
     opt_state = tx.init(params)
-    step = make_train_step(cfg, tx)
+    cfg.train.steps_per_dispatch = k
+    step = make_multistep_train(cfg, tx)
+    stacks = [jax.tree.map(lambda *xs: jnp.stack(xs), *[
+        batches[(i + j) % len(batches)] for j in range(k)])
+        for i in range(len(batches))]
     for i in range(warmup):
-        params, opt_state, m = step(params, opt_state, batches[i % len(batches)])
+        params, opt_state, m = step(params, opt_state, stacks[i % len(stacks)])
     # NB: jax.block_until_ready does NOT reliably synchronize through the
     # axon execution tunnel (it returns at dispatch, yielding impossibly
     # fast timings); a scalar device->host pull is a real synchronization.
     float(m["loss"])
     t0 = time.time()
-    for i in range(n_steps):
-        params, opt_state, m = step(params, opt_state, batches[i % len(batches)])
+    for i in range(n_dispatch):
+        params, opt_state, m = step(params, opt_state, stacks[i % len(stacks)])
     float(m["loss"])
-    dt = (time.time() - t0) / n_steps
+    dt = (time.time() - t0) / (n_dispatch * k)
     return batches[0].batch_size / dt
 
 
@@ -79,7 +90,7 @@ def main():
     cfg.model.use_hierarchical_scan = False
     cfg.model.use_pallas = False
     results["oracle_masked_scan"] = _bench_train_step(cfg, params, batches,
-                                                      n_steps=6)
+                                                      n_dispatch=2)
     # Headline: hierarchical scans + fused Pallas kernels, bf16 VPU chain
     # (full sequences: mask statically elided; MXU accumulates f32).
     cfg.model.use_hierarchical_scan = True

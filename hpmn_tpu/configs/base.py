@@ -70,6 +70,12 @@ def base_config() -> ml_collections.ConfigDict:
     c.train.keep_best_k = 3
     c.train.profile_steps = 0  # >0: dump a jax.profiler trace of N steps
     c.train.debug_nans = False
+    # Train steps fused into one dispatch (lax.scan over stacked batches).
+    # >1 removes per-dispatch host/runtime overhead (measured 19.9->16.7
+    # ms/step on the XLong flagship at k=8) at the cost of coarser
+    # logging/eval granularity. Supported on the single-device path and
+    # both sharded paths (GSPMD + shard_map).
+    c.train.steps_per_dispatch = 1
 
     c.mesh = ml_collections.ConfigDict()
     c.mesh.enable = True  # False: force single-device execution

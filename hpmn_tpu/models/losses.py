@@ -46,3 +46,24 @@ def l2_regularizer(params) -> jax.Array:
         if hasattr(leaf, "ndim") and leaf.ndim >= 2:
             total = total + jnp.sum(leaf.astype(jnp.float32) ** 2)
     return total
+
+
+def l2_parts(params):
+    """L2 split into (embedding tables, everything else) — what the sharded
+    step needs for exact metrics: table rows are sharded over the model
+    axis (psum the table part), dense params are replicated (their part is
+    already global)."""
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    table = jnp.float32(0.0)
+    dense = jnp.float32(0.0)
+    for path, leaf in flat:
+        if not (hasattr(leaf, "ndim") and leaf.ndim >= 2):
+            continue
+        keys = [getattr(p, "key", getattr(p, "name", getattr(p, "idx", None)))
+                for p in path]
+        sq = jnp.sum(leaf.astype(jnp.float32) ** 2)
+        if "embedding" in keys:
+            table = table + sq
+        else:
+            dense = dense + sq
+    return table, dense

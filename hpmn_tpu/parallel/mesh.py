@@ -34,15 +34,20 @@ def make_mesh(model_parallel: int = 1,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def batch_sharding(mesh: Mesh) -> Any:
-    """Every Batch field is sharded on its leading (example) axis."""
+def batch_sharding(mesh: Mesh, stacked: bool = False) -> Any:
+    """Every Batch field is sharded on its example axis. ``stacked=True``
+    for [k, B, ...] multi-step batches (steps_per_dispatch > 1): the step
+    axis k is unsharded, the example axis sharded."""
     from ..data.schema import Batch
     import dataclasses
 
-    def spec(ndim):
-        return NamedSharding(mesh, P(DATA_AXIS, *([None] * (ndim - 1))))
+    lead = (None,) if stacked else ()
 
-    # All Batch fields are [B] or [B, T].
+    def spec(ndim):
+        return NamedSharding(mesh, P(*lead, DATA_AXIS,
+                                     *([None] * (ndim - 1))))
+
+    # All Batch fields are [B] or [B, T] (plus the k axis when stacked).
     return Batch(**{f.name: spec(2) if f.name.endswith("_seq") or
                     f.name == "seq_mask" else spec(1)
                     for f in dataclasses.fields(Batch)})
@@ -65,7 +70,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch) -> Any:
+def shard_batch(mesh: Mesh, batch, stacked: bool = False) -> Any:
     """Place a host-local Batch onto the mesh with data-axis sharding.
 
     Multi-host: each process holds a DIFFERENT local batch (the DataLoader
@@ -74,7 +79,7 @@ def shard_batch(mesh: Mesh, batch) -> Any:
     local batch as the same global array and silently drop (P-1)/P of the
     loaded rows. Global batch = per-host batch x process_count.
     """
-    shardings = batch_sharding(mesh)
+    shardings = batch_sharding(mesh, stacked=stacked)
     if jax.process_count() == 1:
         return jax.tree.map(jax.device_put, batch, shardings)
     return jax.tree.map(

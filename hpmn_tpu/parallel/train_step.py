@@ -38,21 +38,39 @@ def init_sharded_model(key, cfg, n_items: int, n_cats: int, mesh: Mesh,
 def make_sharded_steps(cfg, tx, mesh: Mesh,
                        gru_seq_fn: Optional[Callable] = None,
                        ) -> Tuple[Callable, Callable]:
-    """-> (train_step, eval_step) jitted over the mesh."""
+    """-> (train_step, eval_step) jitted over the mesh.
+
+    With ``cfg.train.steps_per_dispatch > 1`` the train step takes a
+    STACKED Batch [k, B, ...] and scans k steps in one dispatch (same
+    math/overhead win as the single-device ``make_multistep_train``,
+    ARCHITECTURE §4)."""
     mode = cfg.mesh.embedding_mode
     lookup_fn = (None if mode == "replicated"
                  else make_sharded_lookup(mesh, mode))
+    k = cfg.train.steps_per_dispatch
     p_shard = lambda p: param_shardings(mesh, p)
-    b_shard = batch_sharding(mesh)
+    b_shard = batch_sharding(mesh, stacked=k > 1)
     rep = replicated(mesh)
 
-    def _train(params, opt_state, batch):
+    def _step(params, opt_state, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, cfg, batch, lookup_fn, gru_seq_fn)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         del metrics["logits"]
         return params, opt_state, metrics
+
+    if k > 1:
+        def _train(params, opt_state, batches):
+            def body(carry, batch):
+                p, o, m = _step(*carry, batch)
+                return (p, o), m
+
+            (params, opt_state), ms = jax.lax.scan(
+                body, (params, opt_state), batches)
+            return params, opt_state, jax.tree.map(lambda x: x[-1], ms)
+    else:
+        _train = _step
 
     def _eval(params, batch):
         logits, _ = apply_model(params, cfg, batch, lookup_fn, gru_seq_fn)
@@ -96,9 +114,11 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
 
     from ..data.schema import Batch
     from ..models import apply_model, loss_fn
+    from ..models.losses import l2_parts
     from .embedding_sharding import local_lookup_fn
 
     n_model = mesh.shape[MODEL_AXIS]
+    k = cfg.train.steps_per_dispatch
     lookup = (local_lookup_fn(n_model, cfg.mesh.embedding_mode)
               if n_model > 1 else None)
 
@@ -119,19 +139,44 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
             return jax.lax.pmean(g, DATA_AXIS)
         return jax.lax.pmean(g, (DATA_AXIS, MODEL_AXIS))
 
-    batch_spec = Batch(**{f.name: P(DATA_AXIS)
+    batch_spec = Batch(**{f.name: P(*(((None,) if k > 1 else ()) +
+                                      (DATA_AXIS,)))
                           for f in dataclasses.fields(Batch)})
 
-    def _train(params, opt_state, batch):
+    def _step(params, opt_state, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, cfg, batch, lookup, gru_seq_fn)
+        del metrics["logits"]
+        if cfg.loss.l2_weight > 0 and n_model > 1:
+            # Each model-shard's l2 sees only its table rows, undercounting
+            # the reported loss/l2 (gradients are unaffected:
+            # d l2_local / d shard == the full objective's). Reconstruct the
+            # exact global objective on the PRE-update params (what loss_fn
+            # evaluated): psum the sharded table part over "model"; dense
+            # params are replicated already.
+            t_l2, d_l2 = l2_parts(params)
+            l2_true = d_l2 + jax.lax.psum(t_l2, MODEL_AXIS)
+            metrics["loss"] = metrics["loss"] + cfg.loss.l2_weight * (
+                l2_true - metrics["l2"])
+            metrics["l2"] = l2_true
         grads = jax.tree_util.tree_map_with_path(grad_mean, grads)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        del metrics["logits"]
         metrics = jax.tree.map(
             lambda m: jax.lax.pmean(m, (DATA_AXIS, MODEL_AXIS)), metrics)
         return params, opt_state, metrics
+
+    if k > 1:
+        def _train(params, opt_state, batches):
+            def body(carry, batch):
+                p, o, m = _step(*carry, batch)
+                return (p, o), m
+
+            (params, opt_state), ms = jax.lax.scan(
+                body, (params, opt_state), batches)
+            return params, opt_state, jax.tree.map(lambda x: x[-1], ms)
+    else:
+        _train = _step
 
     def _eval(params, batch):
         logits, _ = apply_model(params, cfg, batch, lookup, gru_seq_fn)
@@ -139,27 +184,9 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
 
     def jit_train(params, opt_state):
         ps, os_ = param_specs(params), param_specs(opt_state)
-        sm = jax.shard_map(_train, mesh=mesh, in_specs=(ps, os_, batch_spec),
-                           out_specs=(ps, os_, P()), check_vma=False)
-
-        @jax.jit
-        def step(p, o, b):
-            # Inside shard_map each model-shard's l2 sees only its table
-            # rows, undercounting the reported loss/l2 (gradients are
-            # unaffected: d l2_local/d shard == the full objective's).
-            # Recompute l2 on the global sharded arrays for exact metrics.
-            if cfg.loss.l2_weight > 0:
-                from ..models.losses import l2_regularizer
-
-                l2_true = l2_regularizer(p)
-            p2, o2, m = sm(p, o, b)
-            if cfg.loss.l2_weight > 0:
-                m = dict(m)
-                m["loss"] = m["loss"] + cfg.loss.l2_weight * (l2_true - m["l2"])
-                m["l2"] = l2_true
-            return p2, o2, m
-
-        return step
+        return jax.jit(jax.shard_map(
+            _train, mesh=mesh, in_specs=(ps, os_, batch_spec),
+            out_specs=(ps, os_, P()), check_vma=False))
 
     def jit_eval(params):
         return jax.jit(jax.shard_map(

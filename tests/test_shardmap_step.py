@@ -27,6 +27,7 @@ def _single_device_reference(cfg, batch, tx):
     return optax.apply_updates(params0, u0)
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("use_pallas", [False, True])
 def test_shardmap_step_matches_single_device(use_pallas):
     if use_pallas:
@@ -64,3 +65,70 @@ def test_shardmap_step_matches_single_device(use_pallas):
     finally:
         pg._INTERPRET = False
         pr._INTERPRET = False
+
+
+def test_shardmap_multistep_matches_sequential():
+    """shard_map path with steps_per_dispatch=2 == two sequential k=1
+    dispatches (exact: same collectives, same order per step)."""
+    import jax.numpy as jnp
+
+    mesh = make_mesh(model_parallel=2, devices=jax.devices()[:4])
+    cfg = get_config("amazon_hpmn")
+    cfg.model.hpmn_layers = 2
+    cfg.mesh.embedding_mode = "psum"
+    tx = optax.sgd(1e-2)
+    batches = [to_device_arrays(dummy_batch(8, 12, N_ITEMS, N_CATS, seed=s))
+               for s in (1, 2)]
+
+    params = init_sharded_model(jax.random.key(0), cfg, N_ITEMS, N_CATS, mesh)
+    opt0 = jax.device_put(tx.init(params),
+                          param_shardings(mesh, tx.init(params)))
+
+    cfg.train.steps_per_dispatch = 1
+    step1 = make_shardmap_steps(cfg, tx, mesh)[0](params, opt0)
+    p_seq, o_seq = params, opt0
+    for b in batches:
+        p_seq, o_seq, m_seq = step1(p_seq, o_seq, shard_batch(mesh, b))
+
+    cfg.train.steps_per_dispatch = 2
+    stepk = make_shardmap_steps(cfg, tx, mesh)[0](params, opt0)
+    stack = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    p_k, o_k, m_k = stepk(params, opt0, shard_batch(mesh, stack, stacked=True))
+
+    chex.assert_trees_all_close(jax.device_get(p_seq), jax.device_get(p_k),
+                                atol=1e-6)
+    chex.assert_trees_all_close(m_seq["loss"], m_k["loss"], atol=1e-6)
+
+
+def test_gspmd_multistep_matches_sequential():
+    """GSPMD path with steps_per_dispatch=2 == two sequential dispatches."""
+    import jax.numpy as jnp
+
+    from hpmn_tpu.parallel import make_sharded_steps
+
+    mesh = make_mesh(model_parallel=1, devices=jax.devices()[:4])
+    cfg = get_config("amazon_hpmn")
+    cfg.model.hpmn_layers = 2
+    tx = optax.sgd(1e-2)
+    batches = [to_device_arrays(dummy_batch(8, 12, N_ITEMS, N_CATS, seed=s))
+               for s in (3, 4)]
+
+    params = init_sharded_model(jax.random.key(0), cfg, N_ITEMS, N_CATS, mesh)
+    opt0 = jax.device_put(tx.init(params),
+                          param_shardings(mesh, tx.init(params)))
+
+    cfg.train.steps_per_dispatch = 1
+    step1 = make_sharded_steps(cfg, tx, mesh)[0](params, opt0)
+    # GSPMD step donates params/opt buffers: thread copies
+    p_seq, o_seq = jax.tree.map(jnp.copy, (params, opt0))
+    for b in batches:
+        p_seq, o_seq, m_seq = step1(p_seq, o_seq, shard_batch(mesh, b))
+
+    cfg.train.steps_per_dispatch = 2
+    stepk = make_sharded_steps(cfg, tx, mesh)[0](params, opt0)
+    stack = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    p_k, o_k, m_k = stepk(params, opt0, shard_batch(mesh, stack, stacked=True))
+
+    chex.assert_trees_all_close(jax.device_get(p_seq), jax.device_get(p_k),
+                                atol=1e-6)
+    chex.assert_trees_all_close(m_seq["loss"], m_k["loss"], atol=1e-6)
