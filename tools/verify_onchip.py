@@ -1,23 +1,37 @@
-"""On-chip compiled-kernel parity gate: Pallas vs XLA, loss + grads.
+"""On-chip compiled-kernel numerics gate: Pallas vs XLA, loss + grads.
 
 Round-1 recorded pallas-vs-XLA compiled diffs in prose (STATUS.md); this
 tool makes them a reproducible one-command gate so kernel changes can be
 regression-tested on real hardware (VERDICT r1 weak #4, SURVEY.md §4 item 1).
 
-For each config it builds one batch, computes (loss, grads) with the plain
-XLA hierarchical path and with the fused Pallas kernels — both COMPILED
-(not interpret mode) on whatever backend is present (the tunneled TPU here;
-also runs on CPU where Pallas uses the interpreter automatically only if
-forced — on CPU this is still a meaningful compiled-Mosaic-interpret gate).
+Design (anchored by a measured truth chain, 2026-08-17):
+
+- On CPU, f64 end-to-end vs both f32 paths (XLA and interpret-mode Pallas)
+  agree to ~1e-6 rel — the MATH of both paths is identical; that leg lives
+  in the interpret-mode equivalence tests (tests/test_pallas.py).
+- On chip, ``jax.default_matmul_precision("highest")`` XLA-f32 matches the
+  CPU f64 truth to 7e-6 rel — so the HIGHEST-precision XLA path is a valid
+  on-chip truth anchor.
+- Both the DEFAULT-precision XLA path and the Pallas kernels sit ~8.7e-2
+  (taobao_dien, worst element / grad scale) from that truth — the MXU's
+  bf16-multiply f32 path, amplified through T-long recurrences. They are
+  EQUALLY noisy: the kernel adds no error beyond the platform's stock
+  precision.
+
+The gate therefore computes three legs per config — xla_highest (anchor),
+xla_default, pallas — and passes iff:
+
+  loss:   |loss_pallas - loss_anchor| < loss_atol
+  grads:  rel(pallas, anchor) < max(grad_floor, ratio * rel(xla_default,
+          anchor))     where rel = worst-element |diff| / max|anchor grad|
+
+i.e. Pallas must stay within ``ratio``x of XLA's own compiled-precision
+noise (ratio 2.0), with a small absolute floor so near-exact configs don't
+flap on zero-noise denominators.
 
 Prints ONE JSON line:
-  {"configs": {name: {"loss_diff": .., "grad_maxdiff": .., "grad_scale": ..,
+  {"configs": {name: {"loss_diff": .., "rel_pallas": .., "rel_xla": ..,
                "pass": bool}}, "pass": bool}
-
-Tolerances are per-config: HPMN's single-kernel chain agrees to ~1e-5;
-DIEN's two chained scans + attention amplify f32 reassociation noise
-(~1e-3 relative worst-element, STATUS.md "Known gaps") — tracked here so it
-cannot silently regress further.
 
 Usage: python tools/verify_onchip.py [--configs xlong_hpmn,taobao_dien]
 """
@@ -32,16 +46,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import numpy as np
 
-# (loss_atol, grad_rtol): grad bar is on worst-element diff / grad scale,
-# where scale = max |grad| over the tree (reassociation noise is absolute
-# per dot-product, so relative-to-scale is the stable criterion).
-TOLERANCES = {
-    "xlong_hpmn": (1e-5, 2e-3),
-    "taobao_hpmn": (1e-5, 2e-3),
-    "amazon_hpmn": (1e-5, 2e-3),
-    "taobao_dien": (1e-5, 5e-2),
-    "amazon_gru4rec": (1e-5, 2e-3),
-}
+LOSS_ATOL = 1e-4   # vs the HIGHEST-precision anchor (not vs xla_default)
+GRAD_FLOOR = 1e-4  # rel-to-scale floor for near-exact configs
+RATIO = 2.0        # pallas noise allowed up to 2x xla_default noise
 
 
 def check_config(name: str, batch_size: int = 64, seed: int = 0):
@@ -57,29 +64,32 @@ def check_config(name: str, batch_size: int = 64, seed: int = 0):
         seed=seed))
     params = init_model(jax.random.key(seed), cfg, spec.n_items, spec.n_cats)
 
-    def run(use_pallas: bool):
+    def run(use_pallas: bool, precision: str):
         cfg.model.use_pallas = use_pallas
-        f = jax.jit(jax.value_and_grad(
-            lambda p: loss_fn(p, cfg, batch)[0]))
-        loss, grads = f(params)
-        return float(loss), jax.device_get(grads)
+        with jax.default_matmul_precision(precision):
+            f = jax.jit(jax.value_and_grad(
+                lambda p: loss_fn(p, cfg, batch)[0]))
+            loss, grads = f(params)
+        flat = np.concatenate([np.ravel(np.asarray(g))
+                               for g in jax.tree.leaves(grads)])
+        return float(loss), flat.astype(np.float64)
 
-    loss_x, grads_x = run(False)
-    loss_p, grads_p = run(True)
+    loss_a, g_a = run(False, "highest")   # on-chip truth anchor
+    loss_x, g_x = run(False, "default")
+    loss_p, g_p = run(True, "default")
 
-    flat_x = np.concatenate([np.ravel(g) for g in jax.tree.leaves(grads_x)])
-    flat_p = np.concatenate([np.ravel(g) for g in jax.tree.leaves(grads_p)])
-    grad_scale = float(np.max(np.abs(flat_x)))
-    grad_maxdiff = float(np.max(np.abs(flat_x - flat_p)))
-    loss_diff = abs(loss_x - loss_p)
+    scale = float(np.max(np.abs(g_a)))
+    rel_x = float(np.max(np.abs(g_x - g_a))) / scale
+    rel_p = float(np.max(np.abs(g_p - g_a))) / scale
+    loss_diff = abs(loss_p - loss_a)
 
-    loss_atol, grad_rtol = TOLERANCES[name]
-    ok = loss_diff < loss_atol and grad_maxdiff < grad_rtol * grad_scale
+    ok = (loss_diff < LOSS_ATOL
+          and rel_p < max(GRAD_FLOOR, RATIO * rel_x))
     return {
         "loss_diff": loss_diff,
-        "grad_maxdiff": grad_maxdiff,
-        "grad_scale": grad_scale,
-        "grad_rel": grad_maxdiff / max(grad_scale, 1e-30),
+        "rel_pallas": rel_p,
+        "rel_xla": rel_x,
+        "grad_scale": scale,
         "pass": ok,
     }
 
