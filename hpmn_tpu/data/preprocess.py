@@ -185,14 +185,72 @@ def save_preprocessed(path: str, arrays: Dict[str, np.ndarray],
     (np.savez_compressed if compressed else np.savez)(path, **arrays)
 
 
+def _mmap_npz_members(path: str, keys) -> Dict[str, np.ndarray]:
+    """True memory-maps of an uncompressed .npz's members.
+
+    numpy SILENTLY IGNORES ``mmap_mode`` for zip archives (np.load returns
+    eager ndarrays), so lifelong-scale datasets (XLong real data is GBs of
+    id sequences) would be fully materialized at load. This computes each
+    STORED member's absolute data offset (zip local header + npy header)
+    and maps it with ``np.memmap`` — zero-copy until the loader gathers
+    batch rows. Raises ValueError for compressed/unsupported members
+    (caller falls back to eager load)."""
+    import struct
+    import zipfile
+
+    out = {}
+    with zipfile.ZipFile(path) as zf, open(path, "rb") as raw:
+        infos = {i.filename: i for i in zf.infolist()}
+        for key in keys:
+            info = infos[f"{key}.npy"]
+            if info.compress_type != zipfile.ZIP_STORED:
+                raise ValueError(f"{key}: compressed member, cannot mmap")
+            # npy header size: parse through the zip stream reader, whose
+            # tell() is the position within the member.
+            with zf.open(info.filename) as f:
+                version = np.lib.format.read_magic(f)
+                if version == (1, 0):
+                    shape, fortran, dtype = \
+                        np.lib.format.read_array_header_1_0(f)
+                elif version == (2, 0):
+                    shape, fortran, dtype = \
+                        np.lib.format.read_array_header_2_0(f)
+                else:
+                    raise ValueError(f"{key}: npy format {version}")
+                npy_data_start = f.tell()
+            if dtype.hasobject:
+                raise ValueError(f"{key}: object dtype, cannot mmap")
+            # Zip local file header: 30 fixed bytes; name/extra lengths at
+            # offsets 26/28 (the LOCAL lengths can differ from the central
+            # directory's — read them from the file).
+            raw.seek(info.header_offset + 26)
+            namelen, extralen = struct.unpack("<HH", raw.read(4))
+            data_off = (info.header_offset + 30 + namelen + extralen
+                        + npy_data_start)
+            out[key] = np.memmap(path, dtype=dtype, mode="r",
+                                 offset=data_off, shape=shape,
+                                 order="F" if fortran else "C")
+    return out
+
+
 def load_preprocessed(data_dir: str, spec: DatasetSpec,
-                      mmap: bool = False) -> Dict[str, np.ndarray]:
+                      mmap: str = "auto") -> Dict[str, np.ndarray]:
     """Load ``<data_dir>/<dataset>.npz`` in the emitted format; validates
-    the schema and sequence length against the dataset spec. mmap=True
-    memory-maps uncompressed archives (zero-copy until batched)."""
+    the schema and sequence length against the dataset spec. mmap: "auto"
+    memory-maps uncompressed archives and falls back to eager for
+    compressed ones; True forces (raises if not mappable); False forces
+    eager."""
     path = os.path.join(data_dir, f"{spec.name}.npz")
-    z = np.load(path, mmap_mode="r" if mmap else None)
-    arrays = {k: z[k] for k in REQUIRED_KEYS}
+    z = np.load(path)
+    if mmap is True or mmap == "auto":
+        try:
+            arrays = _mmap_npz_members(path, REQUIRED_KEYS)
+        except (ValueError, KeyError):
+            if mmap is True:
+                raise
+            arrays = {k: z[k] for k in REQUIRED_KEYS}
+    else:
+        arrays = {k: z[k] for k in REQUIRED_KEYS}
     T = arrays["item_seq"].shape[1]
     if T != spec.seq_len:
         raise ValueError(
