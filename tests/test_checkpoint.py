@@ -63,6 +63,7 @@ def test_save_restore_resumes_identically(setup, tmp_path):
     mngr2.close()
 
 
+@pytest.mark.heavy
 def test_train_resume_continues_from_restored_step(tmp_path, monkeypatch):
     """A preempted run must resume AT the restored step, not restart the
     whole budget (and not re-save at already-used step numbers, which orbax

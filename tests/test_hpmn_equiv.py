@@ -42,6 +42,7 @@ def test_oracle_equals_hierarchical(T, L, period):
 @settings(max_examples=25, deadline=None)
 @given(T=st.integers(1, 40), L=st.integers(1, 4), period=st.integers(2, 5),
        seed=st.integers(0, 10))
+@pytest.mark.heavy
 def test_oracle_equals_hierarchical_property(T, L, period, seed):
     d_in, d_m, B = 3, 4, 2
     params = init_hpmn(jax.random.key(seed), d_in, d_m, L)

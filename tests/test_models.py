@@ -43,6 +43,7 @@ def test_hpmn_paths_same_loss(batch):
     assert abs(float(l1) - float(l2)) < 1e-5
 
 
+@pytest.mark.heavy
 def test_all_driver_configs_build(batch):
     for name in list_configs():
         cfg = get_config(name)

@@ -74,6 +74,7 @@ def test_time_major_entry_point():
     chex.assert_trees_all_close(hT1, hT2, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_hpmn_tm_encoder_matches_oracle():
     T, L, period, d_in, d_m, B = 20, 3, 2, 6, 5, 4
     params = init_hpmn(jax.random.key(3), d_in, d_m, L)
@@ -92,6 +93,7 @@ def test_hpmn_tm_encoder_matches_oracle():
     chex.assert_trees_all_close(mo2, mt2, atol=1e-5)
 
 
+@pytest.mark.heavy
 def test_readout_kernel_matches_oracle():
     B, L, d_m, dq, A = 8, 4, 6, 10, 7
     params = init_readout(jax.random.key(5), d_m, dq, A)
@@ -110,6 +112,7 @@ def test_readout_kernel_matches_oracle():
 @pytest.mark.parametrize("config,name", [
     ("taobao_hpmn", "hpmn"), ("taobao_dien", "dien"),
     ("amazon_gru4rec", "gru4rec")])
+@pytest.mark.heavy
 def test_full_model_pallas_path(config, name):
     """End-to-end loss/grad with use_pallas (time-major fused path) matches
     the XLA path for every encoder that has one."""

@@ -65,6 +65,7 @@ def test_sharded_lookup_grads_equal_dense(mesh22, emb, mode):
                                 atol=1e-5)
 
 
+@pytest.mark.heavy
 @pytest.mark.parametrize("mode", ["psum", "a2a"])
 def test_sharded_train_step_matches_single_device(mode):
     """Full HPMN train step on a (2 data x 4 model) mesh == single device."""
@@ -103,6 +104,7 @@ def test_sharded_train_step_matches_single_device(mode):
                                 np.asarray(logits_ref), atol=1e-4)
 
 
+@pytest.mark.heavy
 def test_data_parallel_only_mesh():
     """model_parallel=1: pure DP with replicated tables."""
     mesh = make_mesh(model_parallel=1, devices=jax.devices()[:8])
