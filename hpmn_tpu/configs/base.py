@@ -38,6 +38,16 @@ def base_config() -> ml_collections.ConfigDict:
     # all mask work in the Pallas path. Safe for the synthetic periodic /
     # XLong-style data whose sequences are always length T.
     c.model.assume_full_mask = False
+    # Full-mask HPMN path: emit only the strided rows layer l+1 consumes
+    # (plus boundary states) instead of the dense h_seq stream; backward
+    # recomputes in-chunk states. Bit-exact, and faster in isolation
+    # (fwd 1.95->1.48 ms on the XLong layer-1 shape) — but REJECTED as the
+    # default by end-to-end measurement: composed into the training graph
+    # (pad copies for T % (period-aligned chunk) != 0, dx slice, sparse
+    # cotangent) it is SLOWER at every real layer shape (layer 1: 3.23 ms
+    # dense vs 4.58 ms strided; whole hierarchy +1.7 ms, bench 27.9k ->
+    # 24.9k ex/s). Kept as a tested variant; see ARCHITECTURE §3.
+    c.model.pallas_stride_outputs = False
     c.model.readout_dim = 32  # additive-attention hidden size [P §4.3]
     c.model.tower_hidden = (200, 80)  # PReLU MLP tower [P §4.3]
     # DIEN

@@ -156,3 +156,29 @@ def encode_hierarchical_tm(params: Dict, x_tm: jax.Array,
         seq = h_seq[period - 1::period]
         m = None if m is None else m[period - 1::period]
     return jnp.stack(slots, axis=1)  # [B, L, d_m]
+
+
+def encode_hierarchical_stride_tm(params: Dict, x_tm: jax.Array, period: int,
+                                  stride_fn: Callable) -> jax.Array:
+    """TIME-MAJOR hierarchy with STRIDED-OUTPUT kernels — the full-mask
+    flagship path. Each layer's kernel emits only the T//period rows the
+    next layer consumes plus its final state (no dense h_seq stream, no XLA
+    stride-slice); the kernel backward recomputes in-chunk states from
+    boundaries (ops/pallas_gru.py strided variant, bit-exact vs the dense
+    kernel — VERDICT r1 #5 measured accept). stride_fn:
+    (layer_params, x_tm, period) -> (h_stride, h_T)."""
+    layers: List[GRUParams] = params["layers"]
+    L = len(layers)
+    _, B, _ = x_tm.shape
+    d_m = layers[0].wh.shape[0]
+
+    slots = []
+    seq = x_tm
+    for l in range(L):
+        if seq.shape[0] == 0:
+            slots.extend([jnp.zeros((B, d_m), x_tm.dtype)] * (L - l))
+            break
+        with jax.named_scope(f"hpmn_layer_{l}_stride_scan"):
+            seq, h_T = stride_fn(layers[l], seq, period)
+        slots.append(h_T)
+    return jnp.stack(slots, axis=1)  # [B, L, d_m]

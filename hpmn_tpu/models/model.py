@@ -146,9 +146,18 @@ def apply_model(params: Dict, cfg, batch: Batch,
 
     if use_tm and name == "hpmn":
         from ..ops.pallas_readout import pallas_attention_readout
-        memory = hpmn_mod.encode_hierarchical_tm(
-            params["encoder"], x_tm, mask_tm, cfg.model.hpmn_period,
-            gru_seq_tm_fn=scan_tm)
+        if mask_tm is None and cfg.model.pallas_stride_outputs \
+                and cfg.model.hpmn_period > 1:
+            from ..ops.pallas_gru import pallas_gru_stride_tm
+            stride_fn = functools.partial(
+                pallas_gru_stride_tm, dtype=jnp.dtype(cfg.model.scan_dtype))
+            memory = hpmn_mod.encode_hierarchical_stride_tm(
+                params["encoder"], x_tm, cfg.model.hpmn_period,
+                stride_fn=lambda p, xs, per: stride_fn(p, xs, per))
+        else:
+            memory = hpmn_mod.encode_hierarchical_tm(
+                params["encoder"], x_tm, mask_tm, cfg.model.hpmn_period,
+                gru_seq_tm_fn=scan_tm)
         memory = memory.astype(jnp.float32)
         aux["memory"] = memory
         state = pallas_attention_readout(params["readout"], memory, q)

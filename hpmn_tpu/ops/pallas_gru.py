@@ -398,6 +398,324 @@ def gru_scan_core(x_tm, mask_tm, scale_tm, wx4, wh4, b4, h0,
         x_tm, mask_tm, scale_tm, wx4, wh4, b4, h0)
 
 
+# ----------------------------------------------- strided-output variant --
+#
+# HPMN layer l+1 consumes only every period-th output of layer l
+# (models/hpmn.py stride sampling), yet the standard kernel writes the full
+# [T,B,dm] h_seq stream and re-reads it in the backward. This variant
+# (VERDICT r1 #5, measured accept: fwd 1.95 -> 1.48 ms, fwd+bwd 4.17 ->
+# 3.75 ms on the XLong layer-1 shape, bit-exact) emits only the
+# T//period strided rows + per-chunk boundary states; the backward
+# recomputes the in-chunk states from the boundaries (a forward sub-sweep
+# into VMEM scratch) instead of reading h_seq. Full-mask fast path only
+# (no mask/gate-scale): the hierarchical encoder falls back to the dense
+# kernel when padding masks are present.
+#
+# Chunk size K = smallest multiple of `period` >= UNROLL, so each chunk
+# contains exactly K/period firing positions (static block shapes). T is
+# padded up to a K multiple; pad steps are suppressed to identity in the
+# LAST chunk (h_T correctness) and carry zero cotangent in the backward.
+
+
+def _stride_chunk(period: int) -> int:
+    k = period
+    while k < UNROLL:
+        k += period
+    return k
+
+
+def _fwd_stride_kernel(x_ref, wx4_ref, wh4_ref, b4_ref, h0_ref,
+                       hs_ref, hbound_ref, hT_ref, h_scr,
+                       *, d_m: int, K: int, period: int, n_chunks: int,
+                       pad: int, dtype):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+
+    h = h_scr[:]
+    hbound_ref[0] = h
+    if pad:
+        in_last = t == n_chunks - 1
+    for k in range(K):
+        pre = _step_pre(x_ref[k], h, wx4_ref, wh4_ref, b4_ref, dtype)
+        r, z, c, _ = _pre_gates(pre, d_m)
+        h_new = h + z * (c - h)
+        if pad and k >= K - pad:
+            h = jnp.where(in_last, h, h_new)  # identity on pad steps
+        else:
+            h = h_new
+        if (k + 1) % period == 0:
+            hs_ref[(k + 1) // period - 1] = h
+    h_scr[:] = h
+
+    @pl.when(t == n_chunks - 1)
+    def _():
+        hT_ref[:] = h_scr[:]
+
+
+def _bwd_stride_kernel(x_ref, hbound_ref, dhs_ref, dhT_ref, wx4_ref,
+                       wh4_ref, b4_ref,
+                       dx_ref, dh0_ref, dwx_tile_ref, db_tile_ref,
+                       dwh_tile_ref,
+                       dh_scr, h_scr, dwx_scr, db_scr, dwh_scr,
+                       *, d_m: int, K: int, period: int, n_chunks: int,
+                       pad: int, dtype):
+    tr = pl.program_id(1)  # reverse chunk counter
+
+    @pl.when(tr == 0)
+    def _():
+        dh_scr[:] = jnp.zeros_like(dh_scr)
+        dwx_scr[:] = jnp.zeros_like(dwx_scr)
+        db_scr[:] = jnp.zeros_like(db_scr)
+        dwh_scr[:] = jnp.zeros_like(dwh_scr)
+
+    in_last = tr == 0  # chunk n_chunks-1 (grid reversed)
+    # Forward sub-sweep: recompute the K in-chunk h states from the chunk's
+    # boundary (bit-exact replay of the forward's dtype chain). Pad steps
+    # are identity in the last chunk, matching the forward; their garbage
+    # gate values are harmless because their cotangent is zero.
+    h = hbound_ref[0]
+    for k in range(K):
+        h_scr[k] = h
+        pre = _step_pre(x_ref[k], h, wx4_ref, wh4_ref, b4_ref, dtype)
+        r, z, c, _ = _pre_gates(pre, d_m)
+        h_new = h + z * (c - h)
+        if pad and k >= K - pad:
+            h = jnp.where(in_last, h, h_new)
+        else:
+            h = h_new
+
+    dh = dh_scr[:]
+    dwx = dwx_scr[:]
+    db = db_scr[:]
+    dwh = dwh_scr[:]
+    # The true final step T-1 sits at k = K-pad-1 of the last chunk; h_T's
+    # cotangent enters there.
+    k_last = K - pad - 1
+    for k in reversed(range(K)):
+        h_prev = h_scr[k]
+        x_k = x_ref[k]
+        pre = _step_pre(x_k, h_prev, wx4_ref, wh4_ref, b4_ref, dtype)
+        r, z, c, g_c = _pre_gates(pre, d_m)
+        gcell_f32 = dh
+        if (k + 1) % period == 0:
+            gcell_f32 = gcell_f32 + dhs_ref[(k + 1) // period - 1
+                                            ].astype(jnp.float32)
+        if k == k_last:
+            inj = jnp.where(in_last, 1.0, 0.0).astype(jnp.float32)
+            gcell_f32 = gcell_f32 + inj * dhT_ref[:].astype(jnp.float32)
+        gcell = gcell_f32.astype(dtype)
+        if pad and k >= K - pad:
+            # Pad steps are identity in the last chunk: cotangent passes
+            # through untouched there; elsewhere they are regular steps.
+            pass_through = jnp.where(in_last, 1.0, 0.0).astype(jnp.float32)
+        dzs = gcell * (c - h_prev)
+        dc = gcell * z * (1.0 - c * c)
+        dz = dzs * z * (1.0 - z)
+        dr = dc * g_c * r * (1.0 - r)
+        dpre = jnp.concatenate([dr, dz, dc, dc * r], axis=-1)
+        dh_step = ((gcell - gcell * z).astype(jnp.float32)
+                   + jnp.dot(dpre, wh4_ref[:].T,
+                             preferred_element_type=jnp.float32))
+        dx_step = jnp.dot(dpre, wx4_ref[:].T,
+                          preferred_element_type=jnp.float32)
+        if pad and k >= K - pad:
+            dh = pass_through * gcell_f32 + (1.0 - pass_through) * dh_step
+            dx_ref[k] = ((1.0 - pass_through) * dx_step).astype(dtype)
+            keep = 1.0 - pass_through
+            dwx += keep * jnp.dot(x_k.T, dpre,
+                                  preferred_element_type=jnp.float32)
+            dwh += keep * jnp.dot(h_prev.T, dpre,
+                                  preferred_element_type=jnp.float32)
+            db += keep * jnp.sum(dpre.astype(jnp.float32), axis=0,
+                                 keepdims=True)
+        else:
+            dh = dh_step
+            dx_ref[k] = dx_step.astype(dtype)
+            dwx += jnp.dot(x_k.T, dpre, preferred_element_type=jnp.float32)
+            dwh += jnp.dot(h_prev.T, dpre,
+                           preferred_element_type=jnp.float32)
+            db += jnp.sum(dpre.astype(jnp.float32), axis=0, keepdims=True)
+
+    dh_scr[:] = dh
+    dwx_scr[:] = dwx
+    db_scr[:] = db
+    dwh_scr[:] = dwh
+
+    @pl.when(tr == n_chunks - 1)
+    def _():
+        dh0_ref[:] = dh_scr[:]
+        dwx_tile_ref[0] = dwx_scr[:]
+        db_tile_ref[0] = db_scr[:]
+        dwh_tile_ref[0] = dwh_scr[:]
+
+
+def _bwd_stride_call(x_tm, hbound, dhs, dhT, wx4, wh4, b4, period: int,
+                     pad: int, dtype):
+    Tp, B, d_in = x_tm.shape
+    d_m = wh4.shape[0]
+    bt = _block_b(B, MAX_BT_BWD)
+    K = _stride_chunk(period)
+    n_chunks = Tp // K
+    S = K // period
+    n_btiles = B // bt
+    kernel = functools.partial(
+        _bwd_stride_kernel, d_m=d_m, K=K, period=period, n_chunks=n_chunks,
+        pad=pad, dtype=dtype)
+    rev3 = lambda i, t: (n_chunks - 1 - t, i, 0)
+    const = lambda i, t: (0, 0)
+    dx, dh0, dwx_tiles, db_tiles, dwh_tiles = pl.pallas_call(
+        kernel,
+        grid=(B // bt, n_chunks),
+        in_specs=[
+            pl.BlockSpec((K, bt, d_in), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, d_m), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S, bt, d_m), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, d_m), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, 4 * d_m), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_m, 4 * d_m), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * d_m), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((K, bt, d_in), rev3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, d_m), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_in, 4 * d_m), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 4 * d_m), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d_m, 4 * d_m), lambda i, t: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, B, d_in), dtype),
+            jax.ShapeDtypeStruct((B, d_m), jnp.float32),
+            jax.ShapeDtypeStruct((n_btiles, d_in, 4 * d_m), jnp.float32),
+            jax.ShapeDtypeStruct((n_btiles, 1, 4 * d_m), jnp.float32),
+            jax.ShapeDtypeStruct((n_btiles, d_m, 4 * d_m), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bt, d_m), jnp.float32),  # dh carry stays f32
+            pltpu.VMEM((K, bt, d_m), dtype),     # recomputed in-chunk h
+            pltpu.VMEM((d_in, 4 * d_m), jnp.float32),
+            pltpu.VMEM((1, 4 * d_m), jnp.float32),
+            pltpu.VMEM((d_m, 4 * d_m), jnp.float32),
+        ],
+        interpret=_INTERPRET,
+    )(x_tm, hbound, dhs, dhT, wx4, wh4, b4)
+    return (dx, dh0, jnp.sum(dwx_tiles, 0), jnp.sum(db_tiles, 0),
+            jnp.sum(dwh_tiles, 0))
+
+
+@functools.lru_cache(maxsize=None)
+def _make_stride_core(period: int, dtype_name: str):
+    """custom_vjp specialization of the strided-output scan."""
+    dtype = jnp.dtype(dtype_name)
+    K = _stride_chunk(period)
+
+    def _fwd(x_tm, wx4, wh4, b4, h0):
+        T = x_tm.shape[0]
+        Tp = -(-T // K) * K
+        pad = Tp - T
+        x_ = jnp.pad(x_tm, ((0, pad), (0, 0), (0, 0))) if pad else x_tm
+        call = functools.partial(
+            _fwd_stride_kernel_entry, period=period, pad=pad, dtype=dtype)
+        hs, hbound, hT = call(x_, wx4, wh4, b4, h0)
+        return (hs[:T // period], hT), (x_, wx4, wh4, b4, hbound, T, pad)
+
+    def _bwd(res, cts):
+        x_, wx4, wh4, b4, hbound, T, pad = res
+        dhs, dhT = cts
+        S_pad = x_.shape[0] // period
+        if S_pad != dhs.shape[0]:
+            dhs = jnp.pad(dhs, ((0, S_pad - dhs.shape[0]), (0, 0), (0, 0)))
+        dx, dh0, dwx4, db4, dwh4 = _bwd_stride_call(
+            x_, hbound, dhs.astype(dtype), dhT.astype(dtype),
+            wx4, wh4, b4, period, pad, dtype)
+        d_m = wh4.shape[0]
+        dwx4 = dwx4.at[:, 3 * d_m:].set(0.0)
+        dwh4 = dwh4.at[:, 2 * d_m:3 * d_m].set(0.0)
+        db4 = db4.at[:, 3 * d_m:].set(0.0)
+        return (dx[:T], dwx4.astype(wx4.dtype), dwh4.astype(wh4.dtype),
+                db4.astype(b4.dtype), dh0.astype(dtype))
+
+    @jax.custom_vjp
+    def core(x_tm, wx4, wh4, b4, h0):
+        """x [T,B,d_in] (full sequences, no mask) -> (h_stride
+        [T//period, B, dm] == h_seq[period-1::period], h_T [B, dm])."""
+        return _fwd(x_tm, wx4, wh4, b4, h0)[0]
+
+    core.defvjp(_fwd, _bwd)
+    return core
+
+
+def _fwd_stride_kernel_entry(x_, wx4, wh4, b4, h0, *, period, pad, dtype):
+    """Pad-aware dispatch to the forward pallas_call (kept out of
+    _fwd_stride_call so the pad constant reaches the kernel)."""
+    Tp, B, d_in = x_.shape
+    d_m = wh4.shape[0]
+    bt = _block_b(B)
+    K = _stride_chunk(period)
+    n_chunks = Tp // K
+    S = K // period
+    kernel = functools.partial(
+        _fwd_stride_kernel, d_m=d_m, K=K, period=period, n_chunks=n_chunks,
+        pad=pad, dtype=dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(B // bt, n_chunks),
+        in_specs=[
+            pl.BlockSpec((K, bt, d_in), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_in, 4 * d_m), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((d_m, 4 * d_m), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4 * d_m), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, d_m), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((S, bt, d_m), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bt, d_m), lambda i, t: (t, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bt, d_m), lambda i, t: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp // period, B, d_m), dtype),
+            jax.ShapeDtypeStruct((n_chunks, B, d_m), dtype),
+            jax.ShapeDtypeStruct((B, d_m), dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((bt, d_m), dtype)],
+        interpret=_INTERPRET,
+    )(x_, wx4, wh4, b4, h0)
+
+
+def pallas_gru_stride_tm(params: GRUParams, x_tm: jax.Array, period: int,
+                         dtype=jnp.float32):
+    """Strided-output TIME-MAJOR scan (full-mask fast path): emits only the
+    rows the next HPMN layer consumes. x_tm [T,B,d_in] ->
+    (h_stride [T//period, B, dm], h_T [B, dm]); h_stride ==
+    pallas_gru_sequence_tm(...)[0][period-1::period] bit-exactly."""
+    T, B, _ = x_tm.shape
+    d_m = params.wh.shape[0]
+    dtype = jnp.dtype(dtype)
+    if period <= 1:
+        hseq, hT = pallas_gru_sequence_tm(params, x_tm, None, None,
+                                          dtype=dtype)
+        return hseq, hT
+    wx4, wh4, b4 = _pack_weights(params, dtype)
+    h0 = jnp.zeros((B, d_m), dtype)
+    return _make_stride_core(period, dtype.name)(
+        x_tm.astype(dtype), wx4, wh4, b4, h0)
+
+
 # ------------------------------------------------------------ public API --
 
 def pallas_gru_sequence_tm(params: GRUParams, x_tm: jax.Array,

@@ -125,3 +125,116 @@ def test_full_model_pallas_path(config, name):
     (l2, _), g2 = jax.value_and_grad(loss_fn, has_aux=True)(params, cfg, batch)
     assert abs(float(l1) - float(l2)) < 1e-4, name
     chex.assert_trees_all_close(g1, g2, atol=5e-3, rtol=1e-3)
+
+
+@pytest.mark.parametrize("T,period", [(18, 3), (19, 3), (8, 4), (23, 5),
+                                      (5, 10)])
+def test_stride_kernel_matches_dense(T, period):
+    """Strided-output kernel == dense kernel's stride-sampled h_seq and h_T,
+    values AND grads (incl. the h_T cotangent and T % chunk != 0 padding)."""
+    B, d_in, d_m = 8, 6, 4
+    params = gru_init(jax.random.key(0), d_in, d_m)
+    x_tm = jax.random.normal(jax.random.key(1), (T, B, d_in))
+
+    def dense(x):
+        hseq, hT = pg.pallas_gru_sequence_tm(params, x)
+        return hseq[period - 1::period], hT
+
+    def stride(x):
+        return pg.pallas_gru_stride_tm(params, x, period)
+
+    hs_d, hT_d = dense(x_tm)
+    hs_s, hT_s = stride(x_tm)
+    chex.assert_trees_all_close(hs_s, hs_d, atol=1e-6)
+    chex.assert_trees_all_close(hT_s, hT_d, atol=1e-6)
+
+    # grads through both cotangent paths
+    k1, k2 = jax.random.split(jax.random.key(2))
+    g_hs = jax.random.normal(k1, hs_d.shape)
+    g_hT = jax.random.normal(k2, hT_d.shape)
+
+    def loss(f, x):
+        hs, hT = f(x)
+        return jnp.sum(hs * g_hs) + jnp.sum(hT * g_hT)
+
+    gx_d = jax.grad(lambda x: loss(dense, x))(x_tm)
+    gx_s = jax.grad(lambda x: loss(stride, x))(x_tm)
+    chex.assert_trees_all_close(gx_s, gx_d, atol=1e-5)
+
+
+def test_stride_kernel_weight_grads():
+    """Weight/bias gradients of the strided kernel == the jnp oracle's."""
+    from hpmn_tpu.ops.gru import gru_sequence
+
+    B, T, d_in, d_m, period = 4, 19, 6, 4, 3
+    params = gru_init(jax.random.key(0), d_in, d_m)
+    x = jax.random.normal(jax.random.key(1), (B, T, d_in))
+    x_tm = jnp.moveaxis(x, 0, 1)
+    S = T // period
+    g_hs = jax.random.normal(jax.random.key(2), (S, B, d_m))
+    g_hT = jax.random.normal(jax.random.key(3), (B, d_m))
+
+    def loss_stride(p):
+        hs, hT = pg.pallas_gru_stride_tm(p, x_tm, period)
+        return jnp.sum(hs * g_hs) + jnp.sum(hT * g_hT)
+
+    def loss_oracle(p):
+        hseq, hT = gru_sequence(p, x)  # batch-major [B, T, dm]
+        hs = jnp.moveaxis(hseq, 0, 1)[period - 1::period]
+        return jnp.sum(hs * g_hs) + jnp.sum(hT * g_hT)
+
+    g_s = jax.grad(loss_stride)(params)
+    g_o = jax.grad(loss_oracle)(params)
+    chex.assert_trees_all_close(g_s, g_o, atol=1e-5)
+
+
+def test_hpmn_stride_path_matches_oracle():
+    """Full HPMN encoder on the strided-output path == masked-scan oracle
+    (full-length sequences)."""
+    from hpmn_tpu.models.hpmn import encode_hierarchical_stride_tm
+
+    B, T, d_in, d_m, L, period = 8, 25, 6, 4, 3, 3
+    params = init_hpmn(jax.random.key(0), d_in, d_m, L)
+    x = jax.random.normal(jax.random.key(1), (B, T, d_in))
+    full = jnp.ones((B, T))
+
+    mem_oracle = encode_oracle(params, x, full, period)
+    mem_stride = encode_hierarchical_stride_tm(
+        params, jnp.moveaxis(x, 0, 1), period,
+        stride_fn=pg.pallas_gru_stride_tm)
+    chex.assert_trees_all_close(mem_stride, mem_oracle, atol=1e-5)
+
+    # gradients through the whole encoder
+    g = jax.random.normal(jax.random.key(2), mem_oracle.shape)
+    go = jax.grad(lambda p: jnp.sum(
+        encode_oracle(p, x, full, period) * g))(params)
+    gs = jax.grad(lambda p: jnp.sum(encode_hierarchical_stride_tm(
+        p, jnp.moveaxis(x, 0, 1), period,
+        stride_fn=pg.pallas_gru_stride_tm) * g))(params)
+    chex.assert_trees_all_close(gs, go, atol=2e-5)
+
+
+def test_full_model_stride_path():
+    """xlong_hpmn flagship flags (stride outputs + full-mask) == oracle."""
+    cfg = get_config("xlong_hpmn")
+    cfg.model.hpmn_layers = 3
+    spec_T, n_items, n_cats = 30, 200, 20
+    batch = to_device_arrays(dummy_batch(8, spec_T, n_items, n_cats, seed=3))
+    batch = batch.__class__(**{**batch.__dict__,
+                               "seq_mask": jnp.ones_like(batch.seq_mask)})
+    params = init_model(jax.random.key(0), cfg, n_items, n_cats)
+
+    cfg.model.use_pallas = False
+    cfg.model.use_hierarchical_scan = False
+    loss_o, grads_o = jax.value_and_grad(
+        lambda p: loss_fn(p, cfg, batch)[0])(params)
+
+    cfg.model.use_pallas = True
+    cfg.model.use_hierarchical_scan = True
+    cfg.model.assume_full_mask = True
+    cfg.model.pallas_stride_outputs = True  # the non-default variant
+    loss_s, grads_s = jax.value_and_grad(
+        lambda p: loss_fn(p, cfg, batch)[0])(params)
+
+    chex.assert_trees_all_close(loss_s, loss_o, atol=1e-5)
+    chex.assert_trees_all_close(grads_s, grads_o, atol=3e-4)

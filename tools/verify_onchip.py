@@ -52,16 +52,29 @@ RATIO = 2.0        # pallas noise allowed up to 2x xla_default noise
 
 
 def check_config(name: str, batch_size: int = 64, seed: int = 0):
+    """``name`` may carry a variant suffix: "+fullmask" = full-length
+    sequences with ``assume_full_mask`` (the flagship flags); "+stride" =
+    fullmask plus ``pallas_stride_outputs`` (the non-default strided-output
+    kernel variant, gated here so it cannot rot)."""
+    import jax.numpy as jnp
+
     from hpmn_tpu.configs import get_config
     from hpmn_tpu.data.schema import dummy_batch, to_device_arrays
     from hpmn_tpu.data.synthetic import SPECS
     from hpmn_tpu.models import init_model, loss_fn
 
+    name, _, variant = name.partition("+")
     cfg = get_config(name)
     spec = SPECS[cfg.dataset]
     batch = to_device_arrays(dummy_batch(
         batch_size, spec.seq_len, n_items=spec.n_items, n_cats=spec.n_cats,
         seed=seed))
+    if variant in ("fullmask", "stride"):
+        cfg.model.assume_full_mask = True
+        cfg.model.pallas_stride_outputs = variant == "stride"
+        import dataclasses
+        batch = dataclasses.replace(
+            batch, seq_mask=jnp.ones_like(batch.seq_mask))
     params = init_model(jax.random.key(seed), cfg, spec.n_items, spec.n_cats)
 
     def run(use_pallas: bool, precision: str):
@@ -96,7 +109,8 @@ def check_config(name: str, batch_size: int = 64, seed: int = 0):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="xlong_hpmn,taobao_dien")
+    ap.add_argument("--configs",
+                    default="xlong_hpmn,taobao_dien,xlong_hpmn+stride")
     ap.add_argument("--batch_size", type=int, default=64)
     args = ap.parse_args()
 
