@@ -62,6 +62,34 @@ def incremental_update(encoder_params: Dict, memory: jax.Array,
     return jnp.stack(new_slots, axis=1), t1
 
 
+@jax.jit
+def _predict_scores(params: Dict, memory: jax.Array, cand_items: jax.Array,
+                    cand_cats: jax.Array, user_emb) -> jax.Array:
+    """memory [B, L, dm], candidates [B] -> sigmoid scores [B]."""
+    q = dense_lookup(params["embedding"], cand_items, cand_cats)
+    read = attention_readout(params["readout"], memory, q)
+    parts = [q, read] + ([user_emb] if user_emb is not None else [])
+    logits = apply_tower(params["tower"], jnp.concatenate(parts, axis=-1))
+    return jax.nn.sigmoid(logits)
+
+
+@jax.jit
+def _rank_scores(params: Dict, memory: jax.Array, cand_items: jax.Array,
+                 cand_cats: jax.Array, user_emb) -> jax.Array:
+    """memory [B, L, dm], candidates [B, C] -> sigmoid scores [B, C]: one
+    memory read amortized over all C candidates per user."""
+    B, C = cand_items.shape
+    q = dense_lookup(params["embedding"], cand_items.reshape(-1),
+                     cand_cats.reshape(-1))  # [B*C, 2d]
+    mem_exp = jnp.repeat(memory, C, axis=0)  # [B*C, L, dm]
+    read = attention_readout(params["readout"], mem_exp, q)
+    parts = [q, read]
+    if user_emb is not None:
+        parts.append(jnp.repeat(user_emb, C, axis=0))
+    logits = apply_tower(params["tower"], jnp.concatenate(parts, axis=-1))
+    return jax.nn.sigmoid(logits).reshape(B, C)
+
+
 class UserMemoryStore:
     """Host-side store of per-user lifelong memory (uid -> [L, dm] slots +
     event counter), with batched device-side update/predict.
@@ -224,17 +252,41 @@ class UserMemoryStore:
                                       self.period)
         self._scatter(uids, mem, cnt)
 
+    def _user_emb(self, uids: np.ndarray):
+        """Optional user-embedding tower input (config use_user_emb):
+        [B, emb_dim] or None. The tower was built with the extra input, so
+        serving must feed it too."""
+        if not getattr(self.cfg.model, "use_user_emb", False):
+            return None
+        from ..ops.embedding_agg import take_rows
+
+        return take_rows(self.params["embedding"]["user"],
+                         jnp.asarray(uids, jnp.int32))
+
     def predict(self, uids, cand_items, cand_cats) -> np.ndarray:
         """CTR scores sigma(logit) for (user, candidate item) pairs
         (SURVEY.md §3.5 predict path)."""
         uids = np.asarray(uids)
         mem, _ = self._gather(uids)
-        q = dense_lookup(self.params["embedding"], jnp.asarray(cand_items),
-                         jnp.asarray(cand_cats))
-        read = attention_readout(self.params["readout"], mem, q)
-        logits = apply_tower(self.params["tower"],
-                             jnp.concatenate([q, read], axis=-1))
-        return np.asarray(jax.nn.sigmoid(logits))
+        scores = _predict_scores(self.params, mem,
+                                 jnp.asarray(cand_items),
+                                 jnp.asarray(cand_cats),
+                                 self._user_emb(uids))
+        return np.asarray(scores)
+
+    def rank(self, uids, cand_items, cand_cats) -> np.ndarray:
+        """Score C candidates per user in one batched call — the ranking
+        request shape of a CTR serving tier ([P §4.5]: predictions never
+        replay history; one memory read serves all C candidates).
+
+        cand_items/cand_cats: [B, C] int32 -> scores [B, C]; column c
+        equals ``predict(uids, cand_items[:, c], cand_cats[:, c])``.
+        """
+        uids = np.asarray(uids)
+        mem, _ = self._gather(uids)
+        scores = _rank_scores(self.params, mem, jnp.asarray(cand_items),
+                              jnp.asarray(cand_cats), self._user_emb(uids))
+        return np.asarray(scores)
 
     # ------------------------------------------------------- persistence --
     def save(self, directory: str) -> None:

@@ -154,3 +154,42 @@ def test_lru_eviction_bound_and_cold_restart():
     store.update(np.array([0]), one, one)
     _, cnt0 = store._gather(np.array([0]))
     assert int(cnt0[0]) == 1
+
+
+def test_rank_matches_predict_columns():
+    """rank(uids, [B,C] candidates) column c == predict of column c."""
+    cfg, params = _setup()
+    store = UserMemoryStore(cfg, params)
+    rng = np.random.default_rng(0)
+    uids = np.arange(6)
+    hist = rng.integers(1, N_ITEMS, size=(6, 12)).astype(np.int32)
+    store.ingest_histories(uids, hist, (hist % N_CATS).astype(np.int32))
+
+    C = 5
+    cand = rng.integers(1, N_ITEMS, size=(6, C)).astype(np.int32)
+    ccat = (cand % N_CATS).astype(np.int32)
+    ranked = store.rank(uids, cand, ccat)
+    assert ranked.shape == (6, C)
+    for c in range(C):
+        col = store.predict(uids, cand[:, c], ccat[:, c])
+        np.testing.assert_allclose(ranked[:, c], col, rtol=1e-5)
+
+
+def test_serving_with_user_emb_tower():
+    """Configs with use_user_emb must serve too (tower input includes the
+    user embedding — predict/rank gather it by uid)."""
+    import jax
+
+    from hpmn_tpu.models import init_model
+
+    cfg = _setup()[0]
+    cfg.model.use_user_emb = True
+    params = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS, n_users=64)
+    store = UserMemoryStore(cfg, params)
+    one = np.array([3], np.int32)
+    store.update(np.array([7]), one, one)
+    s = store.predict(np.array([7]), one, one)
+    assert 0 < float(s[0]) < 1
+    r = store.rank(np.array([7]), np.array([[3, 4]], np.int32),
+                   np.array([[3, 4]], np.int32))
+    assert r.shape == (1, 2)
