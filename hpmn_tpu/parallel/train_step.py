@@ -50,6 +50,7 @@ def make_sharded_steps(cfg, tx, mesh: Mesh,
     k = cfg.train.steps_per_dispatch
     p_shard = lambda p: param_shardings(mesh, p)
     b_shard = batch_sharding(mesh, stacked=k > 1)
+    b_shard_eval = batch_sharding(mesh)  # eval batches are never stacked
     rep = replicated(mesh)
 
     def _step(params, opt_state, batch):
@@ -89,7 +90,7 @@ def make_sharded_steps(cfg, tx, mesh: Mesh,
         )
 
     def jit_eval(params):
-        return jax.jit(_eval, in_shardings=(p_shard(params), b_shard),
+        return jax.jit(_eval, in_shardings=(p_shard(params), b_shard_eval),
                        out_shardings=rep)
 
     return jit_train, jit_eval
@@ -142,6 +143,8 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
     batch_spec = Batch(**{f.name: P(*(((None,) if k > 1 else ()) +
                                       (DATA_AXIS,)))
                           for f in dataclasses.fields(Batch)})
+    eval_batch_spec = Batch(**{f.name: P(DATA_AXIS)  # never stacked
+                               for f in dataclasses.fields(Batch)})
 
     def _step(params, opt_state, batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -190,7 +193,8 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
 
     def jit_eval(params):
         return jax.jit(jax.shard_map(
-            _eval, mesh=mesh, in_specs=(param_specs(params), batch_spec),
+            _eval, mesh=mesh, in_specs=(param_specs(params),
+                                        eval_batch_spec),
             out_specs=P(DATA_AXIS), check_vma=False))
 
     return jit_train, jit_eval

@@ -48,6 +48,7 @@ def main():
 
     B = 512
     cfg = get_config("xlong_hpmn")
+    cfg.train.steps_per_dispatch = 1  # variant toggling times single steps
     cfg.train.batch_size = B
     cfg.model.use_hierarchical_scan = True
     cfg.model.use_pallas = True

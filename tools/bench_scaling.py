@@ -105,6 +105,7 @@ def main():
     is_cpu = platform == "cpu"
     pdb = args.per_device_batch or (8 if is_cpu else 512)
     cfg = get_config(args.config)
+    cfg.train.steps_per_dispatch = 1  # this harness times single dispatches
     if is_cpu:
         # tiny shapes: the harness validates mechanics, not CPU FLOPs
         cfg.model.use_pallas = False
