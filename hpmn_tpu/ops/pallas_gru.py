@@ -64,11 +64,18 @@ from .gru import GRUParams
 _INTERPRET = False  # flipped by tests on CPU
 
 UNROLL = 8  # time steps per grid iteration
-MAX_BT_FWD = 256  # batch-tile caps (VMEM budget: ~4 double-buffered
-MAX_BT_BWD = 256  # 1MB streams per 256-row tile in each direction)
+MAX_BT_F32 = 256   # batch-tile caps: ~4 double-buffered 1MB streams per
+MAX_BT_BF16 = 512  # 256-row f32 tile; bf16 halves stream bytes so a 512-row
+#                    tile fits the 16MB scoped-VMEM budget and measured -6%
+#                    on the layer-1 fwd+bwd (3.19 -> 3.01 ms). K=16 unroll
+#                    measured worse (4.29 ms) and OOMs VMEM at bt=512.
 
 
-def _block_b(B: int, cap: int = MAX_BT_FWD) -> int:
+def _bt_cap(dtype) -> int:
+    return MAX_BT_BF16 if jnp.dtype(dtype) == jnp.bfloat16 else MAX_BT_F32
+
+
+def _block_b(B: int, cap: int) -> int:
     """Largest power-of-two batch tile <= cap dividing B."""
     bt = 1
     while bt * 2 <= min(B, cap) and B % (bt * 2) == 0:
@@ -157,7 +164,7 @@ def _fwd_call(x_tm, mask_tm, scale_tm, wx4, wh4, b4, h0,
     every in-kernel access a contiguous tile (no per-step relayouts)."""
     T, B, d_in = x_tm.shape
     d_m = wh4.shape[0]
-    bt = _block_b(B)
+    bt = _block_b(B, _bt_cap(dtype))
     K = UNROLL
     grid = (B // bt, T // K)
     kernel = functools.partial(_fwd_kernel, d_m=d_m,
@@ -282,7 +289,7 @@ def _bwd_call(x_tm, mask_tm, scale_tm, wx4, wh4, b4, hseq_tm, hbound,
               dhseq_tm, has_mask=True, has_scale=True, dtype=jnp.float32):
     T, B, d_in = x_tm.shape
     d_m = wh4.shape[0]
-    bt = _block_b(B, MAX_BT_BWD)
+    bt = _block_b(B, _bt_cap(dtype))
     K = UNROLL
     n_chunks = T // K
     grid = (B // bt, n_chunks)
@@ -556,7 +563,7 @@ def _bwd_stride_call(x_tm, hbound, dhs, dhT, wx4, wh4, b4, period: int,
                      pad: int, dtype):
     Tp, B, d_in = x_tm.shape
     d_m = wh4.shape[0]
-    bt = _block_b(B, MAX_BT_BWD)
+    bt = _block_b(B, _bt_cap(dtype))
     K = _stride_chunk(period)
     n_chunks = Tp // K
     S = K // period
@@ -657,7 +664,7 @@ def _fwd_stride_kernel_entry(x_, wx4, wh4, b4, h0, *, period, pad, dtype):
     _fwd_stride_call so the pad constant reaches the kernel)."""
     Tp, B, d_in = x_.shape
     d_m = wh4.shape[0]
-    bt = _block_b(B)
+    bt = _block_b(B, _bt_cap(dtype))
     K = _stride_chunk(period)
     n_chunks = Tp // K
     S = K // period
