@@ -7,6 +7,7 @@ synthetic users without host-loop dominance. Exercises the contiguous-arena
   bulk ingest   histories -> memories, one batched encode per chunk
   update        one new behavior per user, batched (the O(1)-amortized path)
   predict       (user, candidate) CTR scores, batched
+  rank          C candidates per user from one memory read, batched
 
 One JSON line: {"metric": "serving_1m_users", "ingest_events_per_sec": ..,
 "update_users_per_sec": .., "predict_users_per_sec": .., "n_users": ..}
@@ -27,7 +28,7 @@ import numpy as np
 
 
 def main(n_users=1_000_000, T=100, batch=4096, update_rounds=20,
-         predict_rounds=20):
+         predict_rounds=20, rank_c=64):
     from hpmn_tpu.configs import get_config
     from hpmn_tpu.models import init_model
     from hpmn_tpu.serving import UserMemoryStore
@@ -46,6 +47,8 @@ def main(n_users=1_000_000, T=100, batch=4096, update_rounds=20,
     w_it = w_items[:, 0]
     store.update(w_uids, w_it, (w_it % n_cats).astype(np.int32))
     store.predict(w_uids, w_it, (w_it % n_cats).astype(np.int32))
+    w_cand = rng.integers(1, n_items, size=(256, rank_c)).astype(np.int32)
+    store.rank(w_uids[:256], w_cand, (w_cand % n_cats).astype(np.int32))
 
     # ---- bulk ingest: bootstrap all users' memories --------------------
     t0 = time.time()
@@ -72,12 +75,22 @@ def main(n_users=1_000_000, T=100, batch=4096, update_rounds=20,
         store.predict(uids, it, (it % n_cats).astype(np.int32))
     prd_s = predict_rounds * batch / (time.time() - t0)
 
+    # ---- rank: C candidates per user ------------------------------------
+    t0 = time.time()
+    for _ in range(predict_rounds):
+        uids = rng.integers(0, n_users, size=256)
+        cand = rng.integers(1, n_items, size=(256, rank_c)).astype(np.int32)
+        store.rank(uids, cand, (cand % n_cats).astype(np.int32))
+    rnk_s = predict_rounds * 256 * rank_c / (time.time() - t0)
+
     print(json.dumps({
         "metric": "serving_1m_users",
         "n_users": store.n_users,
         "ingest_events_per_sec": round(ev_s),
         "update_users_per_sec": round(upd_s),
         "predict_users_per_sec": round(prd_s),
+        "rank_scores_per_sec": round(rnk_s),
+        "rank_candidates": rank_c,
     }))
 
 
