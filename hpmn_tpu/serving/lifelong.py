@@ -90,6 +90,21 @@ def _rank_scores(params: Dict, memory: jax.Array, cand_items: jax.Array,
     return jax.nn.sigmoid(logits).reshape(B, C)
 
 
+# Device-resident arena primitives: the donated in-place row write keeps
+# the [cap, L, dm] arena in HBM across calls, and the masked gather serves
+# unknown uids (row -1) as cold-start zeros — mirroring the host arena.
+_arena_set = jax.jit(lambda a, r, v: a.at[r].set(v), donate_argnums=0)
+
+
+@jax.jit
+def _arena_gather(mem: jax.Array, cnt: jax.Array, rows: jax.Array):
+    known = rows >= 0
+    safe = jnp.where(known, rows, 0)
+    m = jnp.where(known[:, None, None], mem[safe], 0.0)
+    c = jnp.where(known, cnt[safe], 0).astype(jnp.int32)
+    return m, c
+
+
 class UserMemoryStore:
     """Host-side store of per-user lifelong memory (uid -> [L, dm] slots +
     event counter), with batched device-side update/predict.
@@ -108,17 +123,29 @@ class UserMemoryStore:
 
     def __init__(self, cfg, params: Dict, uid_to_memory: Optional[dict] = None,
                  counters: Optional[dict] = None,
-                 max_users: Optional[int] = None):
+                 max_users: Optional[int] = None,
+                 device_resident: bool = False):
+        """``device_resident=True`` keeps the memory arena in device HBM
+        (1M users x 6 x 32 f32 = 768MB — comfortably fits): update/predict
+        move only ids up and scores down instead of round-tripping the
+        [B, L, dm] memory block per request batch, which is the measured
+        serving bottleneck on relayed links (BASELINE.md). The uid->row
+        index stays host-side; arena mutations are donated in-place jit
+        index updates."""
         self.cfg = cfg
         self.params = params
         self.L = cfg.model.hpmn_layers
         self.d_m = cfg.model.mem_dim
         self.period = cfg.model.hpmn_period
         self.max_users = max_users
+        self.device_resident = device_resident
         cap = self._MIN_CAP if max_users is None else min(self._MIN_CAP,
                                                           max_users)
         self._mem = np.zeros((cap, self.L, self.d_m), np.float32)
         self._cnt = np.zeros((cap,), np.int64)
+        if device_resident:
+            self._mem = jnp.asarray(self._mem)
+            self._cnt = jnp.asarray(self._cnt)
         self._last_touch = np.zeros((cap,), np.int64)  # LRU clock per row
         self._clock = 0
         self._row: Dict[int, int] = {}  # uid -> arena row
@@ -142,12 +169,22 @@ class UserMemoryStore:
         new_cap = max(cap * 2, need, self._MIN_CAP)
         if self.max_users is not None:
             new_cap = min(new_cap, max(self.max_users, need))
-        for name, fill in (("_mem", 0), ("_cnt", 0), ("_last_touch", 0),
-                           ("_row_uid", -1)):
+        for name, fill in (("_last_touch", 0), ("_row_uid", -1)):
             old = getattr(self, name)
             new = np.full((new_cap,) + old.shape[1:], fill, old.dtype)
             new[:cap] = old
             setattr(self, name, new)
+        if self.device_resident:
+            self._mem = jnp.zeros((new_cap, self.L, self.d_m),
+                                  jnp.float32).at[:cap].set(self._mem)
+            self._cnt = jnp.zeros((new_cap,), jnp.int64).at[:cap].set(
+                self._cnt)
+        else:
+            for name in ("_mem", "_cnt"):
+                old = getattr(self, name)
+                new = np.zeros((new_cap,) + old.shape[1:], old.dtype)
+                new[:cap] = old
+                setattr(self, name, new)
 
     def _evict(self, need: int) -> None:
         """Drop the ~25% least-recently-touched users (plus whatever more
@@ -166,6 +203,7 @@ class UserMemoryStore:
         rows = np.empty(len(uids), np.int64)
         row_map = self._row
         missing = []
+        fresh = []  # rows newly allocated/recycled this call, zeroed below
         for i, u in enumerate(uids):
             r = row_map.get(int(u), -1)
             rows[i] = r
@@ -190,22 +228,42 @@ class UserMemoryStore:
                             self._next_row += 1
                     row_map[u] = r
                     self._row_uid[r] = u
-                    self._mem[r] = 0.0
-                    self._cnt[r] = 0
+                    fresh.append(r)
                 rows[i] = r
+        if fresh:
+            # One batched zeroing for all newly allocated/recycled rows
+            # (device mode: a single in-place index update, not a dispatch
+            # per new user).
+            fr = np.asarray(fresh, np.int64)
+            if self.device_resident:
+                self._mem = _arena_set(self._mem, jnp.asarray(fr),
+                                       jnp.zeros((len(fr), self.L, self.d_m),
+                                                 jnp.float32))
+                self._cnt = _arena_set(self._cnt, jnp.asarray(fr),
+                                       jnp.zeros((len(fr),), jnp.int64))
+            else:
+                self._mem[fr] = 0.0
+                self._cnt[fr] = 0
         return rows
 
-    def _set_rows(self, uids: np.ndarray, mem: np.ndarray,
-                  cnt: np.ndarray) -> None:
+    def _set_rows(self, uids: np.ndarray, mem, cnt) -> None:
         rows = self._rows_for(uids, create=True)
-        self._mem[rows] = mem
-        self._cnt[rows] = cnt
+        if self.device_resident:
+            self._mem = _arena_set(self._mem, jnp.asarray(rows),
+                                   jnp.asarray(mem, jnp.float32))
+            self._cnt = _arena_set(self._cnt, jnp.asarray(rows),
+                                   jnp.asarray(cnt, jnp.int64))
+        else:
+            self._mem[rows] = np.asarray(mem)
+            self._cnt[rows] = np.asarray(cnt)
         self._clock += 1
         self._last_touch[rows] = self._clock
 
     # ------------------------------------------------------------ state --
     def _gather(self, uids: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         rows = self._rows_for(uids, create=False)
+        if self.device_resident:
+            return _arena_gather(self._mem, self._cnt, jnp.asarray(rows))
         known = rows >= 0
         safe = np.where(known, rows, 0)
         mem = np.where(known[:, None, None], self._mem[safe], 0.0)
@@ -213,8 +271,7 @@ class UserMemoryStore:
         return jnp.asarray(mem), jnp.asarray(cnt)
 
     def _scatter(self, uids, mem, cnt) -> None:
-        self._set_rows(np.asarray(uids), np.asarray(mem),
-                       np.asarray(cnt))
+        self._set_rows(np.asarray(uids), mem, cnt)
 
     # -------------------------------------------------------- operations --
     def ingest_histories(self, uids, item_seqs, cat_seqs, masks=None) -> None:
@@ -296,9 +353,11 @@ class UserMemoryStore:
 
     @classmethod
     def load(cls, directory: str, cfg, params: Dict,
-             max_users: Optional[int] = None) -> "UserMemoryStore":
+             max_users: Optional[int] = None,
+             device_resident: bool = False) -> "UserMemoryStore":
         uids, mem, cnt = load_user_memory(directory)
-        store = cls(cfg, params, max_users=max_users)
+        store = cls(cfg, params, max_users=max_users,
+                    device_resident=device_resident)
         if len(uids):
             store._set_rows(uids, mem, cnt)
         return store

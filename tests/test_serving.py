@@ -2,6 +2,7 @@
 ([P §4.5], SURVEY.md §3.5) and round-trip persistence."""
 
 import chex
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -193,3 +194,46 @@ def test_serving_with_user_emb_tower():
     r = store.rank(np.array([7]), np.array([[3, 4]], np.int32),
                    np.array([[3, 4]], np.int32))
     assert r.shape == (1, 2)
+
+
+@pytest.mark.parametrize("resident", [False, True])
+def test_device_resident_matches_host_store(resident):
+    """The device-resident arena is behavior-identical to the host arena:
+    same memories, counters, predictions, growth, and save/load."""
+    cfg, params = _setup()
+    ref = UserMemoryStore(cfg, params)
+    store = UserMemoryStore(cfg, params, device_resident=resident)
+    rng = np.random.default_rng(5)
+    n = 40
+    uids = rng.permutation(n) + 100
+    hist = rng.integers(1, N_ITEMS, size=(n, 12)).astype(np.int32)
+    it = rng.integers(1, N_ITEMS, size=n).astype(np.int32)
+    for s in (ref, store):
+        s.ingest_histories(uids, hist, (hist % N_CATS).astype(np.int32))
+        s.update(uids, it, (it % N_CATS).astype(np.int32))
+    m1, c1 = ref._gather(uids)
+    m2, c2 = store._gather(uids)
+    chex.assert_trees_all_close(np.asarray(m1), np.asarray(m2), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    # unknown uid -> cold-start zeros in both modes
+    m3, c3 = store._gather(np.array([999999]))
+    assert float(np.abs(np.asarray(m3)).sum()) == 0.0
+    assert int(np.asarray(c3)[0]) == 0
+
+
+def test_device_resident_growth_and_roundtrip(tmp_path):
+    cfg, params = _setup()
+    store = UserMemoryStore(cfg, params, device_resident=True)
+    n = UserMemoryStore._MIN_CAP + 10  # force device arena growth
+    rng = np.random.default_rng(7)
+    uids = np.arange(n)
+    items = rng.integers(1, N_ITEMS, size=n).astype(np.int32)
+    store.update(uids, items, (items % N_CATS).astype(np.int32))
+    assert store.n_users == n
+    store.save(str(tmp_path))
+    back = UserMemoryStore.load(str(tmp_path), cfg, params,
+                                device_resident=True)
+    m1, c1 = store._gather(uids[:17])
+    m2, c2 = back._gather(uids[:17])
+    chex.assert_trees_all_close(np.asarray(m1), np.asarray(m2), atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))

@@ -28,7 +28,7 @@ import numpy as np
 
 
 def main(n_users=1_000_000, T=100, batch=4096, update_rounds=20,
-         predict_rounds=20, rank_c=64):
+         predict_rounds=20, rank_c=64, device_resident=0):
     from hpmn_tpu.configs import get_config
     from hpmn_tpu.models import init_model
     from hpmn_tpu.serving import UserMemoryStore
@@ -36,7 +36,8 @@ def main(n_users=1_000_000, T=100, batch=4096, update_rounds=20,
     cfg = get_config("taobao_hpmn")
     n_items, n_cats = 50_000, 800
     params = init_model(jax.random.key(0), cfg, n_items, n_cats)
-    store = UserMemoryStore(cfg, params)
+    store = UserMemoryStore(cfg, params,
+                            device_resident=bool(device_resident))
     rng = np.random.default_rng(0)
 
     # warmup: compile the three device graphs (batch-shaped) OUTSIDE the
@@ -85,6 +86,7 @@ def main(n_users=1_000_000, T=100, batch=4096, update_rounds=20,
 
     print(json.dumps({
         "metric": "serving_1m_users",
+        "device_resident": bool(device_resident),
         "n_users": store.n_users,
         "ingest_events_per_sec": round(ev_s),
         "update_users_per_sec": round(upd_s),
