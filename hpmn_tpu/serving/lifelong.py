@@ -105,6 +105,40 @@ def _arena_gather(mem: jax.Array, cnt: jax.Array, rows: jax.Array):
     return m, c
 
 
+# Fused single-dispatch request paths for the device-resident arena: the
+# per-dispatch overhead (3-5 ms over a relayed link) dominates small
+# request batches, so gather -> compute -> write-back runs as ONE jitted
+# call per request batch.
+@functools.partial(jax.jit, donate_argnums=(1, 2),
+                   static_argnames=("period",))
+def _dev_update(params: Dict, mem_arena, cnt_arena, rows, item_ids,
+                cat_ids, period: int):
+    x = dense_lookup(params["embedding"], item_ids, cat_ids)
+    mem = mem_arena[rows]  # update allocates rows, so rows are valid
+    cnt = cnt_arena[rows].astype(jnp.int32)
+    mem2, cnt2 = incremental_update(params["encoder"], mem, cnt, x, period)
+    return (mem_arena.at[rows].set(mem2),
+            cnt_arena.at[rows].set(cnt2.astype(cnt_arena.dtype)))
+
+
+@jax.jit
+def _dev_predict(params: Dict, mem_arena, rows, cand_items, cand_cats,
+                 user_emb):
+    known = rows >= 0
+    safe = jnp.where(known, rows, 0)
+    mem = jnp.where(known[:, None, None], mem_arena[safe], 0.0)
+    return _predict_scores(params, mem, cand_items, cand_cats, user_emb)
+
+
+@jax.jit
+def _dev_rank(params: Dict, mem_arena, rows, cand_items, cand_cats,
+              user_emb):
+    known = rows >= 0
+    safe = jnp.where(known, rows, 0)
+    mem = jnp.where(known[:, None, None], mem_arena[safe], 0.0)
+    return _rank_scores(params, mem, cand_items, cand_cats, user_emb)
+
+
 class UserMemoryStore:
     """Host-side store of per-user lifelong memory (uid -> [L, dm] slots +
     event counter), with batched device-side update/predict.
@@ -145,7 +179,8 @@ class UserMemoryStore:
         self._cnt = np.zeros((cap,), np.int64)
         if device_resident:
             self._mem = jnp.asarray(self._mem)
-            self._cnt = jnp.asarray(self._cnt)
+            # int32 on device: x64 is disabled (and T_max counters fit)
+            self._cnt = jnp.asarray(self._cnt, jnp.int32)
         self._last_touch = np.zeros((cap,), np.int64)  # LRU clock per row
         self._clock = 0
         self._row: Dict[int, int] = {}  # uid -> arena row
@@ -177,7 +212,7 @@ class UserMemoryStore:
         if self.device_resident:
             self._mem = jnp.zeros((new_cap, self.L, self.d_m),
                                   jnp.float32).at[:cap].set(self._mem)
-            self._cnt = jnp.zeros((new_cap,), jnp.int64).at[:cap].set(
+            self._cnt = jnp.zeros((new_cap,), jnp.int32).at[:cap].set(
                 self._cnt)
         else:
             for name in ("_mem", "_cnt"):
@@ -240,7 +275,7 @@ class UserMemoryStore:
                                        jnp.zeros((len(fr), self.L, self.d_m),
                                                  jnp.float32))
                 self._cnt = _arena_set(self._cnt, jnp.asarray(fr),
-                                       jnp.zeros((len(fr),), jnp.int64))
+                                       jnp.zeros((len(fr),), jnp.int32))
             else:
                 self._mem[fr] = 0.0
                 self._cnt[fr] = 0
@@ -252,7 +287,7 @@ class UserMemoryStore:
             self._mem = _arena_set(self._mem, jnp.asarray(rows),
                                    jnp.asarray(mem, jnp.float32))
             self._cnt = _arena_set(self._cnt, jnp.asarray(rows),
-                                   jnp.asarray(cnt, jnp.int64))
+                                   jnp.asarray(cnt, jnp.int32))
         else:
             self._mem[rows] = np.asarray(mem)
             self._cnt[rows] = np.asarray(cnt)
@@ -302,6 +337,16 @@ class UserMemoryStore:
     def update(self, uids, item_ids, cat_ids) -> None:
         """Ingest one new behavior per listed user (O(1) amortized each)."""
         uids = np.asarray(uids)
+        if self.device_resident:
+            # One fused dispatch: gather -> GRU updates -> write-back,
+            # donated in place.
+            rows = self._rows_for(uids, create=True)
+            self._mem, self._cnt = _dev_update(
+                self.params, self._mem, self._cnt, jnp.asarray(rows),
+                jnp.asarray(item_ids), jnp.asarray(cat_ids), self.period)
+            self._clock += 1
+            self._last_touch[rows] = self._clock
+            return
         mem, cnt = self._gather(uids)
         x = dense_lookup(self.params["embedding"], jnp.asarray(item_ids),
                          jnp.asarray(cat_ids))
@@ -324,6 +369,12 @@ class UserMemoryStore:
         """CTR scores sigma(logit) for (user, candidate item) pairs
         (SURVEY.md §3.5 predict path)."""
         uids = np.asarray(uids)
+        if self.device_resident:
+            rows = self._rows_for(uids, create=False)
+            return np.asarray(_dev_predict(
+                self.params, self._mem, jnp.asarray(rows),
+                jnp.asarray(cand_items), jnp.asarray(cand_cats),
+                self._user_emb(uids)))
         mem, _ = self._gather(uids)
         scores = _predict_scores(self.params, mem,
                                  jnp.asarray(cand_items),
@@ -340,6 +391,12 @@ class UserMemoryStore:
         equals ``predict(uids, cand_items[:, c], cand_cats[:, c])``.
         """
         uids = np.asarray(uids)
+        if self.device_resident:
+            rows = self._rows_for(uids, create=False)
+            return np.asarray(_dev_rank(
+                self.params, self._mem, jnp.asarray(rows),
+                jnp.asarray(cand_items), jnp.asarray(cand_cats),
+                self._user_emb(uids)))
         mem, _ = self._gather(uids)
         scores = _rank_scores(self.params, mem, jnp.asarray(cand_items),
                               jnp.asarray(cand_cats), self._user_emb(uids))
