@@ -122,7 +122,6 @@ def test_realistic_vocab_end_to_end(tmp_path):
     load_preprocessed (memory-mapped) -> DataLoader -> train() without
     materializing the dataset, and the embedding tables size themselves
     from the REAL vocab (not the synthetic stand-in spec)."""
-    import dataclasses
 
     from hpmn_tpu.configs import get_config
     from hpmn_tpu.train.train import make_datasets, train
