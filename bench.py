@@ -90,7 +90,7 @@ def main():
     cfg.model.use_hierarchical_scan = False
     cfg.model.use_pallas = False
     results["oracle_masked_scan"] = _bench_train_step(cfg, params, batches,
-                                                      n_dispatch=2)
+                                                      n_dispatch=3)
     # Headline: hierarchical scans + fused Pallas kernels, bf16 VPU chain
     # (full sequences: mask statically elided; MXU accumulates f32).
     cfg.model.use_hierarchical_scan = True

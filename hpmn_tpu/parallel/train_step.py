@@ -62,14 +62,9 @@ def make_sharded_steps(cfg, tx, mesh: Mesh,
         return params, opt_state, metrics
 
     if k > 1:
-        def _train(params, opt_state, batches):
-            def body(carry, batch):
-                p, o, m = _step(*carry, batch)
-                return (p, o), m
+        from ..train.train import fuse_steps
 
-            (params, opt_state), ms = jax.lax.scan(
-                body, (params, opt_state), batches)
-            return params, opt_state, jax.tree.map(lambda x: x[-1], ms)
+        _train = fuse_steps(_step)
     else:
         _train = _step
 
@@ -170,14 +165,9 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
         return params, opt_state, metrics
 
     if k > 1:
-        def _train(params, opt_state, batches):
-            def body(carry, batch):
-                p, o, m = _step(*carry, batch)
-                return (p, o), m
+        from ..train.train import fuse_steps
 
-            (params, opt_state), ms = jax.lax.scan(
-                body, (params, opt_state), batches)
-            return params, opt_state, jax.tree.map(lambda x: x[-1], ms)
+        _train = fuse_steps(_step)
     else:
         _train = _step
 

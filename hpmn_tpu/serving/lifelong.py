@@ -221,12 +221,24 @@ class UserMemoryStore:
                 new[:cap] = old
                 setattr(self, name, new)
 
-    def _evict(self, need: int) -> None:
+    def _evict(self, need: int, protected=frozenset()) -> None:
         """Drop the ~25% least-recently-touched users (plus whatever more
-        ``need`` demands) in one bulk pass."""
+        ``need`` demands) in one bulk pass.
+
+        ``protected``: arena rows referenced by the IN-FLIGHT request batch
+        (their LRU clocks are only bumped after the call) — evicting one
+        would recycle its row to another uid in the same batch, producing
+        duplicate row indices and corrupted memory."""
         n_live = len(self._row)
-        k = min(n_live, max(n_live // 4, need))
         live = np.flatnonzero(self._row_uid >= 0)
+        if protected:
+            live = live[~np.isin(live, np.fromiter(protected, np.int64))]
+        if len(live) < need:
+            raise ValueError(
+                f"cannot evict {need} rows: only {len(live)} unprotected "
+                f"users (max_users={self.max_users} smaller than the "
+                f"request batch's distinct-user count?)")
+        k = min(len(live), max(n_live // 4, need))
         victims = live[np.argpartition(self._last_touch[live], k - 1)[:k]]
         for u in self._row_uid[victims]:
             del self._row[int(u)]
@@ -245,6 +257,9 @@ class UserMemoryStore:
             if r < 0:
                 missing.append(i)
         if missing and create:
+            # Rows this batch already references must survive any eviction
+            # (incl. rows allocated for earlier uids of this same batch).
+            protected = {int(r) for r in rows if r >= 0}
             for i in missing:
                 u = int(uids[i])
                 r = row_map.get(u, -1)  # duplicate new uid within the batch
@@ -254,7 +269,7 @@ class UserMemoryStore:
                     else:
                         if (self.max_users is not None
                                 and self._next_row >= self.max_users):
-                            self._evict(1)
+                            self._evict(1, frozenset(protected))
                             r = self._free_rows.pop()
                         else:
                             if self._next_row >= len(self._cnt):
@@ -264,6 +279,7 @@ class UserMemoryStore:
                     row_map[u] = r
                     self._row_uid[r] = u
                     fresh.append(r)
+                    protected.add(int(r))
                 rows[i] = r
         if fresh:
             # One batched zeroing for all newly allocated/recycled rows

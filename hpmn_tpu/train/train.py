@@ -65,8 +65,7 @@ def prefetch_to_device(iterator, place, size: int = 2):
         yield queue.popleft()
 
 
-def make_train_step(cfg, tx, lookup_fn=None, gru_seq_fn=None) -> Callable:
-    @jax.jit
+def _raw_train_step(cfg, tx, lookup_fn=None, gru_seq_fn=None) -> Callable:
     def train_step(params, opt_state, batch: Batch):
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, cfg, batch, lookup_fn, gru_seq_fn)
@@ -78,31 +77,35 @@ def make_train_step(cfg, tx, lookup_fn=None, gru_seq_fn=None) -> Callable:
     return train_step
 
 
-def make_multistep_train(cfg, tx, lookup_fn=None, gru_seq_fn=None) -> Callable:
-    """k train steps fused into ONE dispatch: ``lax.scan`` of the train step
-    over a stacked Batch [k, B, ...]. Identical math to k sequential
-    ``make_train_step`` calls (tested bitwise in tests/test_train.py); wins
-    the per-dispatch host/runtime overhead (measured 19.9 -> 16.7 ms/step at
-    k=8 on the XLong flagship, /tmp-experiment recorded in ARCHITECTURE §4)
-    and lets XLA overlap step boundaries. Returns the LAST step's metrics,
-    matching the single-step driver's log lines."""
+def make_train_step(cfg, tx, lookup_fn=None, gru_seq_fn=None) -> Callable:
+    return jax.jit(_raw_train_step(cfg, tx, lookup_fn, gru_seq_fn))
 
-    @jax.jit
-    def multistep(params, opt_state, batches: Batch):
+
+def fuse_steps(step_fn: Callable) -> Callable:
+    """Fuse a ``(params, opt_state, batch) -> (params, opt_state, metrics)``
+    step into a stacked-batch multistep: ``lax.scan`` over [k, B, ...]
+    batches, one device dispatch for all k steps. Identical math to k
+    sequential calls (tested bitwise per execution path); wins the
+    per-dispatch host/runtime overhead (ARCHITECTURE §4). Returns the LAST
+    step's metrics, matching the single-step driver's log lines. Shared by
+    the single-device, GSPMD, and shard_map step factories."""
+
+    def multistep(params, opt_state, batches):
         def body(carry, batch):
-            p, o = carry
-            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                p, cfg, batch, lookup_fn, gru_seq_fn)
-            updates, o = tx.update(grads, o, p)
-            p = optax.apply_updates(p, updates)
-            del metrics["logits"]
-            return (p, o), metrics
+            p, o, m = step_fn(*carry, batch)
+            return (p, o), m
 
         (params, opt_state), ms = jax.lax.scan(body, (params, opt_state),
                                                batches)
         return params, opt_state, jax.tree.map(lambda x: x[-1], ms)
 
     return multistep
+
+
+def make_multistep_train(cfg, tx, lookup_fn=None, gru_seq_fn=None) -> Callable:
+    """jit(fuse_steps(train step)) — see :func:`fuse_steps`."""
+    return jax.jit(fuse_steps(_raw_train_step(cfg, tx, lookup_fn,
+                                              gru_seq_fn)))
 
 
 def chunk_batches(iterator, k: int):
@@ -218,10 +221,11 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     if k > 1:
         base_it = chunk_batches(base_it, k)
     it = prefetch_to_device(base_it, place)
-    profiling = False
+    profiling, profiled = False, False  # one-shot: trace a single window
     while step < cfg.train.max_steps:
         batch = next(it)
-        if cfg.train.profile_steps and step >= 5 and not profiling:
+        if cfg.train.profile_steps and step >= 5 and not profiling \
+                and not profiled:
             jax.profiler.start_trace("/tmp/hpmn_trace")
             profiling = True
         params, opt_state, metrics = train_step(params, opt_state, batch)
@@ -230,7 +234,7 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         if profiling and step >= 5 + cfg.train.profile_steps:
             jax.block_until_ready(params)
             jax.profiler.stop_trace()
-            profiling = False
+            profiling, profiled = False, True
             log("profile trace written to /tmp/hpmn_trace")
         if step % cfg.train.log_every < k:  # crossed a log boundary
             jax.block_until_ready(metrics["loss"])
@@ -239,8 +243,9 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             log(f"step {step} loss {float(metrics['loss']):.4f} "
                 f"bce {float(metrics['bce']):.4f} ex/s {eps:.1f}")
             if writer is not None:
-                for k, v in metrics.items():
-                    writer.add_scalar(f"train/{k}", float(v), step)
+                # NB: do not shadow `k` (the steps-per-dispatch stride)
+                for name, v in metrics.items():
+                    writer.add_scalar(f"train/{name}", float(v), step)
                 writer.add_scalar("train/examples_per_sec", eps, step)
             t_last, n_since = time.time(), 0
         if step % cfg.train.eval_every < k or step >= cfg.train.max_steps:

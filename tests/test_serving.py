@@ -237,3 +237,33 @@ def test_device_resident_growth_and_roundtrip(tmp_path):
     m2, c2 = back._gather(uids[:17])
     chex.assert_trees_all_close(np.asarray(m1), np.asarray(m2), atol=1e-7)
     np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
+
+@pytest.mark.parametrize("resident", [False, True])
+def test_eviction_never_recycles_in_flight_rows(resident):
+    """A full store receiving a batch that contains both its LRU user and a
+    new user must NOT evict the in-flight LRU user (its row would be
+    recycled to the new uid inside the same call, corrupting memory)."""
+    cfg, params = _setup()
+    store = UserMemoryStore(cfg, params, max_users=4,
+                            device_resident=resident)
+    one = np.array([1], np.int32)
+    for u in range(4):  # fill; uid 0 is least-recently-touched
+        store.update(np.array([u]), one, one)
+    # One batch: [LRU user, brand-new user] -> eviction must pick uid 1.
+    store.update(np.array([0, 99]), np.array([1, 1], np.int32),
+                 np.array([1, 1], np.int32))
+    _, cnt = store._gather(np.array([0, 99, 1, 2, 3]))
+    got = np.asarray(cnt)
+    assert got[0] == 2, got   # LRU user's state survived and updated
+    assert got[1] == 1, got   # new user created
+    assert got[2] == 0, got   # uid 1 (next-LRU) was the victim
+    np.testing.assert_array_equal(got[3:], [1, 1])
+
+
+def test_eviction_refuses_when_batch_exceeds_capacity():
+    cfg, params = _setup()
+    store = UserMemoryStore(cfg, params, max_users=2)
+    ids = np.array([1, 1, 1], np.int32)
+    with pytest.raises(ValueError):
+        store.update(np.array([10, 11, 12]), ids, ids)

@@ -153,3 +153,18 @@ def test_train_driver_multistep_dispatch():
     res = train(cfg, log=lambda s: None)
     assert res["history"][-1]["step"] >= 40
     assert 0.0 < res["test"]["log_loss"] < 2.0
+
+
+def test_multistep_with_tensorboard_writer(tmp_path):
+    """Regression: the tensorboard metrics loop must not shadow the
+    steps-per-dispatch stride `k` (it crashed every logged multistep run),
+    and the profiler must trace exactly one window."""
+    cfg = _small_cfg(**{"train.max_steps": 24, "train.eval_every": 12,
+                        "train.log_every": 8,
+                        "train.steps_per_dispatch": 4,
+                        "train.log_dir": str(tmp_path / "tb"),
+                        "train.profile_steps": 2,
+                        "mesh.enable": False})
+    res = train(cfg, log=lambda s: None)
+    assert res["history"][-1]["step"] >= 24
+    assert any((tmp_path / "tb").iterdir())  # events were written
