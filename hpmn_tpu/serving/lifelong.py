@@ -23,6 +23,7 @@ Equivalence with training: feeding a user's T behaviors through
 from __future__ import annotations
 
 import functools
+import os
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -434,3 +435,54 @@ class UserMemoryStore:
         if len(uids):
             store._set_rows(uids, mem, cnt)
         return store
+
+    # ---------------------------------------------- deployment bundle --
+    def save_bundle(self, directory: str) -> None:
+        """Self-contained serving artifact: model params + the config
+        fields serving needs + the user-memory snapshot, in one directory.
+        A serving host needs nothing else (training checkpoints stay with
+        the trainer)."""
+        import json
+
+        self.save(directory)
+        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        arrays = {jax.tree_util.keystr(path): np.asarray(leaf)
+                  for path, leaf in flat}
+        np.savez(os.path.join(directory, "params.npz"), **arrays)
+        with open(os.path.join(directory, "serving_config.json"), "w") as f:
+            json.dump({"config": self.cfg.to_dict(),
+                       "max_users": self.max_users}, f)
+
+    @classmethod
+    def load_bundle(cls, directory: str,
+                    device_resident: bool = False) -> "UserMemoryStore":
+        """Restore a :meth:`save_bundle` artifact (params + config +
+        memory) without any trainer-side objects."""
+        import json
+
+        import ml_collections
+
+        with open(os.path.join(directory, "serving_config.json")) as f:
+            meta = json.load(f)
+        cfg = ml_collections.ConfigDict(meta["config"])
+        z = np.load(os.path.join(directory, "params.npz"))
+
+        # Rebuild the param tree against a same-config init skeleton: the
+        # skeleton provides the exact pytree structure (dicts, lists,
+        # GRUParams namedtuples, None leaves that tree_flatten skips); the
+        # saved arrays are placed by their keystr path.
+        from ..models import init_model
+
+        vocab = {"n_items": int(z["['embedding']['item']"].shape[0]),
+                 "n_cats": int(z["['embedding']['cat']"].shape[0])}
+        n_users = (int(z["['embedding']['user']"].shape[0])
+                   if "['embedding']['user']" in z.files else 0)
+        skeleton = init_model(jax.random.key(0), cfg, vocab["n_items"],
+                              vocab["n_cats"], n_users=n_users)
+        flat, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
+        leaves = [jnp.asarray(z[jax.tree_util.keystr(path)])
+                  for path, _ in flat]
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        return cls.load(directory, cfg, params,
+                        max_users=meta.get("max_users"),
+                        device_resident=device_resident)

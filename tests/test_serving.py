@@ -267,3 +267,24 @@ def test_eviction_refuses_when_batch_exceeds_capacity():
     ids = np.array([1, 1, 1], np.int32)
     with pytest.raises(ValueError):
         store.update(np.array([10, 11, 12]), ids, ids)
+
+
+def test_save_load_bundle_roundtrip(tmp_path):
+    """save_bundle/load_bundle: a serving host restores params + config +
+    memory from one artifact and produces identical predictions."""
+    cfg, params = _setup()
+    store = UserMemoryStore(cfg, params)
+    rng = np.random.default_rng(11)
+    uids = np.arange(9)
+    hist = rng.integers(1, N_ITEMS, size=(9, 13)).astype(np.int32)
+    store.ingest_histories(uids, hist, (hist % N_CATS).astype(np.int32))
+    store.save_bundle(str(tmp_path))
+
+    back = UserMemoryStore.load_bundle(str(tmp_path))
+    assert back.period == store.period and back.L == store.L
+    cand = rng.integers(1, N_ITEMS, size=9).astype(np.int32)
+    ccat = (cand % N_CATS).astype(np.int32)
+    np.testing.assert_allclose(back.predict(uids, cand, ccat),
+                               store.predict(uids, cand, ccat), rtol=1e-6)
+    # params round-tripped exactly (incl. GRUParams reassembly)
+    chex.assert_trees_all_close(back.params, store.params)
