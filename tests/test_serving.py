@@ -288,3 +288,37 @@ def test_save_load_bundle_roundtrip(tmp_path):
                                store.predict(uids, cand, ccat), rtol=1e-6)
     # params round-tripped exactly (incl. GRUParams reassembly)
     chex.assert_trees_all_close(back.params, store.params)
+
+
+def test_train_to_serve_pipeline(tmp_path):
+    """The full production story on one machine: train a config, hand the
+    trained params to the serving store, ingest histories, bundle, restore
+    on a 'serving host', and score candidates."""
+    from hpmn_tpu.train.train import train
+
+    cfg = get_config("amazon_hpmn")
+    cfg.n_examples = 2000
+    cfg.train.batch_size = 64
+    cfg.train.max_steps = 30
+    cfg.train.eval_every = 30
+    cfg.train.log_every = 10 ** 9
+    cfg.mesh.enable = False
+    res = train(cfg, log=lambda s: None)
+
+    store = UserMemoryStore(cfg, res["params"])
+    rng = np.random.default_rng(0)
+    uids = np.arange(16)
+    spec_T = 100
+    hist = rng.integers(1, 1000, size=(16, spec_T)).astype(np.int32)
+    store.ingest_histories(uids, hist, (hist % 50).astype(np.int32))
+    store.save_bundle(str(tmp_path))
+
+    server = UserMemoryStore.load_bundle(str(tmp_path))
+    cand = rng.integers(1, 1000, size=(16, 8)).astype(np.int32)
+    scores = server.rank(uids, cand, (cand % 50).astype(np.int32))
+    assert scores.shape == (16, 8)
+    assert ((scores > 0) & (scores < 1)).all()
+    # one more live event continues the firing grid
+    server.update(uids, cand[:, 0], (cand[:, 0] % 50).astype(np.int32))
+    _, cnt = server._gather(uids)
+    np.testing.assert_array_equal(np.asarray(cnt), spec_T + 1)
