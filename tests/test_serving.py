@@ -322,3 +322,42 @@ def test_train_to_serve_pipeline(tmp_path):
     server.update(uids, cand[:, 0], (cand[:, 0] % 50).astype(np.int32))
     _, cnt = server._gather(uids)
     np.testing.assert_array_equal(np.asarray(cnt), spec_T + 1)
+
+
+def test_serve_batch_cli(tmp_path):
+    """tools/serve_batch.py scores a request file against a bundle and,
+    with --update, persists the advanced memories."""
+    import subprocess
+    import sys as _sys
+
+    cfg, params = _setup()
+    store = UserMemoryStore(cfg, params)
+    uids = np.arange(5)
+    hist = np.random.default_rng(0).integers(
+        1, N_ITEMS, size=(5, 9)).astype(np.int32)
+    store.ingest_histories(uids, hist, (hist % N_CATS).astype(np.int32))
+    bundle = tmp_path / "bundle"
+    bundle.mkdir()
+    store.save_bundle(str(bundle))
+
+    cand = np.random.default_rng(1).integers(
+        1, N_ITEMS, size=(5, 3)).astype(np.int32)
+    np.savez(tmp_path / "req.npz", uids=uids.astype(np.int32),
+             cand_items=cand, cand_cats=(cand % N_CATS).astype(np.int32),
+             item_ids=cand[:, 0], cat_ids=(cand[:, 0] % N_CATS).astype(np.int32))
+    import os as _os
+    out = subprocess.run(
+        [_sys.executable, "tools/serve_batch.py", "--bundle", str(bundle),
+         "--requests", str(tmp_path / "req.npz"),
+         "--out", str(tmp_path / "scores.npz"), "--update", "--force_cpu"],
+        capture_output=True, text=True, timeout=600,
+        cwd=_os.path.dirname(_os.path.dirname(
+            _os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-1500:]
+    scores = np.load(tmp_path / "scores.npz")["scores"]
+    assert scores.shape == (5, 3)
+    assert ((scores > 0) & (scores < 1)).all()
+    # --update persisted: reloaded store has counter 10
+    back = UserMemoryStore.load_bundle(str(bundle))
+    _, cnt = back._gather(uids)
+    np.testing.assert_array_equal(np.asarray(cnt), 10)
