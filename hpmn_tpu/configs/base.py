@@ -93,6 +93,12 @@ def base_config() -> ml_collections.ConfigDict:
     c.mesh.model_axis = "model"
     c.mesh.model_parallel = 1  # table-shard count; 1 = no model parallelism
     c.mesh.embedding_mode = "replicated"  # replicated | psum | a2a (row-sharded)
+    # Sequence parallelism (parallel/seq_parallel.py): shard the T axis of
+    # the long scans over a "seq" mesh axis with pipelined carry handoff.
+    # Mutually exclusive with model_parallel/use_pallas in v1 (enforced).
+    c.mesh.seq_parallel = 1
+    c.mesh.sp_microbatches = 4  # pipeline depth; bubble = (S-1)/(MB+S-1)
+    c.mesh.sp_min_local_steps = 8  # below this chunk size, fall back local
 
     c.eval_batch_size = 256
     return c

@@ -153,7 +153,31 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     tx = make_optimizer(cfg)
     use_mesh = (cfg.mesh.model_parallel > 1 or len(jax.devices()) > 1) \
         and cfg.mesh.enable and lookup_fn is None
-    if use_mesh:
+    if use_mesh and cfg.mesh.seq_parallel > 1:
+        # Sequence-parallel execution: T axis of the long scans sharded over
+        # a (data, seq) mesh with pipelined carry handoff
+        # (parallel/seq_parallel.py; SURVEY.md §2.3 SP row).
+        from ..parallel import replicated, shard_batch
+        from ..parallel.seq_parallel import make_sp_mesh, make_sp_steps
+
+        mesh = make_sp_mesh(cfg.mesh.seq_parallel)
+        params = init_model(jax.random.key(cfg.seed), cfg, spec.n_items,
+                            spec.n_cats, n_users=spec.n_users)
+        rep = replicated(mesh)
+        params = jax.device_put(params, jax.tree.map(lambda _: rep, params))
+        opt_state = jax.device_put(
+            tx.init(params), jax.tree.map(lambda _: rep,
+                                          jax.eval_shape(tx.init, params)))
+        jit_train, jit_eval = make_sp_steps(cfg, tx, mesh)
+        train_step = jit_train(params, opt_state)
+        _eval_step = jit_eval(params)
+        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b))
+        place = lambda b: shard_batch(
+            mesh, b, stacked=cfg.train.steps_per_dispatch > 1)
+        log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
+            f"seq_parallel={cfg.mesh.seq_parallel} "
+            f"(microbatches={cfg.mesh.sp_microbatches})")
+    elif use_mesh:
         # Sharded execution over the device mesh (SURVEY.md §2.3, [B:5]):
         # DP over "data", row-sharded tables over "model".
         from ..parallel import (init_sharded_model, make_mesh,
