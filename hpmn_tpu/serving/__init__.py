@@ -1,3 +1,16 @@
 from .lifelong import UserMemoryStore, incremental_update
 
-__all__ = ["UserMemoryStore", "incremental_update"]
+__all__ = ["UserMemoryStore", "incremental_update", "ServingServer",
+           "ServingClient"]
+
+
+def __getattr__(name):
+    # Lazy: the daemon/client pull in sockets/threads that most training
+    # imports never need.
+    if name == "ServingServer":
+        from .server import ServingServer
+        return ServingServer
+    if name == "ServingClient":
+        from .client import ServingClient
+        return ServingClient
+    raise AttributeError(name)

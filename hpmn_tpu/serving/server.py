@@ -1,0 +1,359 @@
+"""Online serving daemon: TCP front-end + micro-batching dispatcher over a
+``UserMemoryStore``.
+
+Reference equivalent: NONE — the reference exposes serving only as the
+paper's O(1) incremental-update *algorithm* ([P §4.5], SURVEY.md §3.5); an
+online system around it is new capability in the production-serving spirit
+of [B:5]. The pieces:
+
+- **MicroBatcher** — the serving-side analogue of training's
+  steps-per-dispatch lever (ARCHITECTURE §4: per-dispatch overhead dwarfs
+  tiny-batch compute). Concurrent client requests land in a queue; one
+  dispatcher thread drains up to ``max_batch`` of them (waiting at most
+  ``max_wait_ms`` after the first), groups them by kind, concatenates, and
+  runs each group as ONE store call. A single dispatcher thread also makes
+  the store's mutation path trivially race-free — all JAX dispatch and
+  arena writes happen on one thread, by construction.
+
+- **Shape bucketing** — every distinct batch shape jit-compiles a new
+  program, so fused batches are padded up to a small set of bucket sizes
+  (powers of two up to ``max_batch``). predict/rank pads replicate the
+  first request row (scores discarded on split); update pads target a
+  reserved sentinel user whose arena row absorbs the no-op writes — padding
+  must never double-apply an event to a real user. rank groups additionally
+  key on the candidate count C.
+
+- **Frame protocol** — length-prefixed JSON: 4-byte big-endian length +
+  UTF-8 JSON object per message, both directions. Methods: ``predict``
+  (uids, cand_items, cand_cats -> scores [B]), ``rank`` ([B, C] candidates
+  -> scores [B, C]), ``update`` (uids, item_ids, cat_ids; ack), ``stats``.
+  ``hpmn_tpu.serving.client.ServingClient`` is the matching client.
+
+Responses preserve per-request ordering guarantees *per connection* (each
+connection handler blocks on its request's future), and a client's
+update->predict sequence observes the update because the dispatcher drains
+the queue in FIFO group order (updates queued before a predict are flushed
+in the same or an earlier drain cycle — group execution order within a
+cycle is update, then predict/rank).
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import socketserver
+import struct
+import threading
+from concurrent.futures import Future
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+# Reserved uid whose arena row absorbs update-padding writes. Kept far above
+# any real uid a test/deployment uses; documented in the bundle docs.
+PAD_UID = np.int32(2**31 - 1)
+
+_HDR = struct.Struct(">I")
+_MAX_FRAME = 64 << 20
+
+
+def _recv_exact(sock: socket.socket, n: int) -> Optional[bytes]:
+    buf = b""
+    while len(buf) < n:
+        chunk = sock.recv(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def read_frame(sock: socket.socket) -> Optional[dict]:
+    hdr = _recv_exact(sock, _HDR.size)
+    if hdr is None:
+        return None
+    (length,) = _HDR.unpack(hdr)
+    if length > _MAX_FRAME:
+        raise ValueError(f"frame of {length} bytes exceeds limit")
+    body = _recv_exact(sock, length)
+    if body is None:
+        return None
+    return json.loads(body.decode("utf-8"))
+
+
+def write_frame(sock: socket.socket, obj: dict) -> None:
+    body = json.dumps(obj).encode("utf-8")
+    sock.sendall(_HDR.pack(len(body)) + body)
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n:
+        b <<= 1
+    return min(b, max(max_batch, n))
+
+
+class MicroBatcher:
+    """Queue + dispatcher thread fusing concurrent requests into batched
+    store calls. ``submit`` returns a Future resolved with the request's
+    slice of the fused result (or an exception)."""
+
+    def __init__(self, store, max_batch: int = 256, max_wait_ms: float = 2.0):
+        self.store = store
+        self.max_batch = max_batch
+        self.max_wait_s = max_wait_ms / 1e3
+        self._q: "queue.Queue" = queue.Queue()
+        self._stop = threading.Event()
+        self.stats = {"requests": 0, "batches": 0, "fused_rows": 0,
+                      "padded_rows": 0}
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="serving-dispatcher")
+        self._thread.start()
+
+    def submit(self, method: str, payload: dict) -> Future:
+        fut: Future = Future()
+        self._q.put((method, payload, fut))
+        return fut
+
+    def close(self) -> None:
+        self._stop.set()
+        self._q.put(None)  # wake the dispatcher
+        self._thread.join(timeout=5)
+
+    # ---------------------------------------------------- dispatcher ----
+
+    def _drain(self) -> List[Tuple[str, dict, Future]]:
+        """Block for the first request, then collect more until max_batch
+        requests are pending or max_wait_ms passed."""
+        try:
+            first = self._q.get(timeout=0.25)
+        except queue.Empty:
+            return []
+        if first is None:
+            return []
+        items = [first]
+        deadline = _now() + self.max_wait_s
+        while len(items) < self.max_batch:
+            remaining = deadline - _now()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._q.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            items.append(nxt)
+        return items
+
+    def _run(self) -> None:
+        while not self._stop.is_set():
+            items = self._drain()
+            if not items:
+                continue
+            groups: Dict[tuple, List[Tuple[dict, Future]]] = {}
+            order: List[tuple] = []
+            for method, payload, fut in items:
+                key = self._group_key(method, payload)
+                if key not in groups:
+                    groups[key] = []
+                    order.append(key)
+                groups[key].append((payload, fut))
+            # updates first so same-cycle predicts observe queued events
+            order.sort(key=lambda k: 0 if k[0] == "update" else 1)
+            for key in order:
+                self._run_group(key, groups[key])
+
+    @staticmethod
+    def _group_key(method: str, payload: dict) -> tuple:
+        if method == "rank":
+            c = len(payload["cand_items"][0]) if payload["cand_items"] else 0
+            return ("rank", c)
+        return (method,)
+
+    def _run_group(self, key: tuple,
+                   reqs: List[Tuple[dict, Future]]) -> None:
+        method = key[0]
+        try:
+            results = self._execute(method, reqs)
+        except Exception as e:  # surface to every caller, keep serving
+            for _, fut in reqs:
+                if not fut.done():
+                    fut.set_exception(e)
+            return
+        for (_, fut), res in zip(reqs, results):
+            fut.set_result(res)
+
+    def _execute(self, method: str,
+                 reqs: List[Tuple[dict, Future]]) -> List[object]:
+        sizes = [len(r["uids"]) for r, _ in reqs]
+        uids = np.concatenate(
+            [np.asarray(r["uids"], np.int32) for r, _ in reqs])
+        n = uids.shape[0]
+        b = _bucket(n, self.max_batch)
+        pad = b - n
+        self.stats["requests"] += len(reqs)
+        self.stats["batches"] += 1
+        self.stats["fused_rows"] += n
+        self.stats["padded_rows"] += pad
+
+        def cat(field, pad_row):
+            a = np.concatenate(
+                [np.asarray(r[field], np.int32) for r, _ in reqs])
+            if pad:
+                a = np.concatenate([a, np.broadcast_to(
+                    pad_row, (pad,) + a.shape[1:]).astype(np.int32)])
+            return a
+
+        if method == "update":
+            if pad:
+                uids = np.concatenate(
+                    [uids, np.full((pad,), PAD_UID, np.int32)])
+            items = cat("item_ids", np.int32(0))
+            cats = cat("cat_ids", np.int32(0))
+            self.store.update(uids, items, cats)
+            return [{"ok": True} for _ in reqs]
+
+        if pad:  # replicate row 0; its scores are sliced away below
+            uids = np.concatenate([uids, np.repeat(uids[:1], pad)])
+        if method == "predict":
+            items = cat("cand_items", np.int32(0))
+            cats = cat("cand_cats", np.int32(0))
+            scores = np.asarray(self.store.predict(uids, items, cats))
+        elif method == "rank":
+            first = np.asarray(reqs[0][0]["cand_items"], np.int32)
+            pad_row = np.zeros((first.shape[1],), np.int32)
+            items = cat("cand_items", pad_row)
+            cats = cat("cand_cats", pad_row)
+            scores = np.asarray(self.store.rank(uids, items, cats))
+        else:
+            raise ValueError(f"unknown method {method!r}")
+        out, off = [], 0
+        for s in sizes:
+            out.append(scores[off:off + s].tolist())
+            off += s
+        return out
+
+
+def _now() -> float:
+    import time
+
+    return time.monotonic()
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self) -> None:
+        srv: "ServingServer" = self.server.owner  # type: ignore[attr-defined]
+        while True:
+            try:
+                msg = read_frame(self.request)
+            except (ValueError, ConnectionError, OSError):
+                return
+            if msg is None:
+                return
+            rid = msg.get("id")
+            method = msg.get("method", "")
+            try:
+                if method == "stats":
+                    resp = {"ok": True, "stats": dict(srv.batcher.stats),
+                            "n_users": srv.store.n_users}
+                elif method in ("predict", "rank", "update"):
+                    fut = srv.batcher.submit(method, msg)
+                    res = fut.result(timeout=srv.request_timeout_s)
+                    resp = ({"ok": True, "scores": res}
+                            if method != "update" else {"ok": True})
+                else:
+                    resp = {"ok": False, "error": f"unknown method "
+                                                  f"{method!r}"}
+            except Exception as e:
+                resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+            if rid is not None:
+                resp["id"] = rid
+            try:
+                write_frame(self.request, resp)
+            except (ConnectionError, OSError):
+                return
+
+
+class _TCPServer(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+
+class ServingServer:
+    """Threaded TCP serving daemon over a UserMemoryStore.
+
+    Usage::
+
+        with ServingServer(store, port=0) as srv:
+            client = ServingClient("127.0.0.1", srv.port)
+            scores = client.predict(uids, items, cats)
+    """
+
+    def __init__(self, store, host: str = "127.0.0.1", port: int = 0,
+                 max_batch: int = 256, max_wait_ms: float = 2.0,
+                 request_timeout_s: float = 60.0):
+        self.store = store
+        self.batcher = MicroBatcher(store, max_batch, max_wait_ms)
+        self.request_timeout_s = request_timeout_s
+        self._tcp = _TCPServer((host, port), _Handler)
+        self._tcp.owner = self  # type: ignore[attr-defined]
+        self.host, self.port = self._tcp.server_address[:2]
+        self._thread = threading.Thread(target=self._tcp.serve_forever,
+                                        daemon=True, name="serving-acceptor")
+        self._thread.start()
+
+    def close(self) -> None:
+        self._tcp.shutdown()
+        self._tcp.server_close()
+        self.batcher.close()
+        self._thread.join(timeout=5)
+
+    def __enter__(self) -> "ServingServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def main(argv=None) -> None:
+    """Daemon CLI (also exposed as ``tools/serve.py`` and the ``hpmn-serve``
+    console script): load a bundle, listen, serve; ``--save_on_exit``
+    persists the advanced memories back into the bundle on SIGINT/SIGTERM
+    ([P §4.5] persistence)."""
+    import argparse
+    import signal
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("--bundle", required=True)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=7600)
+    ap.add_argument("--device_resident", action="store_true")
+    ap.add_argument("--max_batch", type=int, default=256)
+    ap.add_argument("--max_wait_ms", type=float, default=2.0)
+    ap.add_argument("--save_on_exit", action="store_true")
+    ap.add_argument("--force_cpu", action="store_true",
+                    help="run on the host CPU (tests / no-TPU machines)")
+    args = ap.parse_args(argv)
+
+    if args.force_cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize overrides env
+
+    from .lifelong import UserMemoryStore
+
+    store = UserMemoryStore.load_bundle(args.bundle,
+                                        device_resident=args.device_resident)
+    done = threading.Event()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        signal.signal(sig, lambda *_: done.set())
+    with ServingServer(store, host=args.host, port=args.port,
+                       max_batch=args.max_batch,
+                       max_wait_ms=args.max_wait_ms) as srv:
+        print(f"serving bundle {args.bundle} on {srv.host}:{srv.port} "
+              f"(n_users={store.n_users})", flush=True)
+        done.wait()
+        if args.save_on_exit:
+            srv.batcher.close()  # flush queued updates before persisting
+            store.save(args.bundle)
+            print(f"saved memories back to {args.bundle}", flush=True)

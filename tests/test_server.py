@@ -1,0 +1,179 @@
+"""Serving daemon tests: protocol round-trip, micro-batch fusion under
+concurrent clients, update visibility, and parity with direct store calls
+(hpmn_tpu/serving/server.py)."""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from hpmn_tpu.configs import get_config
+from hpmn_tpu.models import init_model
+from hpmn_tpu.serving import UserMemoryStore
+from hpmn_tpu.serving.client import ServingClient
+from hpmn_tpu.serving.server import MicroBatcher, ServingServer, _bucket
+
+N_ITEMS, N_CATS = 200, 20
+
+
+def _store(seed=0):
+    cfg = get_config("taobao_hpmn")
+    params = init_model(jax.random.key(seed), cfg, N_ITEMS, N_CATS)
+    return cfg, params, UserMemoryStore(cfg, params)
+
+
+def _seed_users(store, uids, T=9, seed=3):
+    rng = np.random.default_rng(seed)
+    items = rng.integers(1, N_ITEMS, size=(len(uids), T)).astype(np.int32)
+    cats = (items % N_CATS).astype(np.int32)
+    store.ingest_histories(np.asarray(uids, np.int32), items, cats)
+    return items, cats
+
+
+def test_bucket_sizes():
+    assert _bucket(1, 256) == 1
+    assert _bucket(3, 256) == 4
+    assert _bucket(17, 256) == 32
+    assert _bucket(300, 256) == 300  # above max_batch: exact size
+
+
+def test_server_predict_rank_update_roundtrip():
+    _, params, store = _store()
+    uids = np.arange(1, 9, dtype=np.int32)
+    _seed_users(store, uids)
+    # Direct-store references BEFORE starting the server.
+    cand_i = np.arange(1, 9, dtype=np.int32)
+    cand_c = cand_i % N_CATS
+    ref_pred = store.predict(uids, cand_i, cand_c)
+    ci2 = np.stack([cand_i, cand_i + 1], axis=1) % N_ITEMS
+    cc2 = ci2 % N_CATS
+    ref_rank = store.rank(uids, ci2, cc2)
+
+    with ServingServer(store, max_wait_ms=1.0) as srv:
+        with ServingClient(srv.host, srv.port) as cl:
+            got = cl.predict(uids, cand_i, cand_c)
+            np.testing.assert_allclose(got, ref_pred, atol=1e-6)
+            gotr = cl.rank(uids, ci2, cc2)
+            np.testing.assert_allclose(gotr, ref_rank, atol=1e-6)
+            # update changes the scores and matches a direct-store replay
+            cl.update(uids, cand_i, cand_c)
+            got2 = cl.predict(uids, cand_i, cand_c)
+            assert not np.allclose(got2, ref_pred)
+            np.testing.assert_allclose(got2,
+                                       store.predict(uids, cand_i, cand_c),
+                                       atol=1e-6)
+            st = cl.stats()
+            assert st["stats"]["requests"] >= 4
+            assert st["n_users"] == len(uids)
+
+
+def test_server_error_reply_keeps_serving():
+    _, _, store = _store()
+    _seed_users(store, np.arange(1, 5, dtype=np.int32))
+    with ServingServer(store) as srv:
+        with ServingClient(srv.host, srv.port) as cl:
+            with pytest.raises(RuntimeError, match="unknown method"):
+                cl._call("bogus")
+            # connection still usable afterwards
+            s = cl.predict([1], [2], [2 % N_CATS])
+            assert s.shape == (1,)
+
+
+def test_microbatcher_fuses_concurrent_requests():
+    """N threads x 1-row predicts with a generous fuse window -> fewer
+    dispatched batches than requests, identical scores to direct calls."""
+    _, _, store = _store()
+    uids = np.arange(1, 17, dtype=np.int32)
+    _seed_users(store, uids)
+    cand_i = (uids * 3 % N_ITEMS).astype(np.int32)
+    cand_c = cand_i % N_CATS
+    ref = store.predict(uids, cand_i, cand_c)
+
+    with ServingServer(store, max_wait_ms=50.0) as srv:
+        results = {}
+        errs = []
+        barrier = threading.Barrier(len(uids))
+
+        def one(i):
+            try:
+                with ServingClient(srv.host, srv.port) as cl:
+                    barrier.wait(timeout=10)
+                    results[i] = cl.predict([uids[i]], [cand_i[i]],
+                                            [cand_c[i]])[0]
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=one, args=(i,))
+                   for i in range(len(uids))]
+        [t.start() for t in threads]
+        [t.join(timeout=30) for t in threads]
+        assert not errs
+        got = np.array([results[i] for i in range(len(uids))])
+        np.testing.assert_allclose(got, ref, atol=1e-6)
+        stats = srv.batcher.stats
+        assert stats["requests"] == len(uids)
+        assert stats["batches"] < len(uids)  # fusion actually happened
+
+
+@pytest.mark.slow
+def test_serve_daemon_cli(tmp_path):
+    """tools/serve.py end to end as a real OS process: bundle -> daemon ->
+    client predict/update -> SIGTERM with --save_on_exit persists the
+    advanced memories."""
+    import os
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+
+    _, _, store = _store()
+    uids = np.arange(1, 6, dtype=np.int32)
+    _seed_users(store, uids, T=9)
+    bundle = tmp_path / "bundle"
+    bundle.mkdir()
+    store.save_bundle(str(bundle))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [_sys.executable, "tools/serve.py", "--bundle", str(bundle),
+         "--port", "0", "--save_on_exit", "--force_cpu"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=repo)
+    try:
+        line = proc.stdout.readline()  # "serving bundle ... on host:port ..."
+        assert "serving bundle" in line, (line, proc.stderr.read())
+        hostport = line.split(" on ")[1].split()[0]
+        host, port = hostport.rsplit(":", 1)
+        with ServingClient(host, int(port), timeout_s=120) as cl:
+            s = cl.predict(uids, uids % N_ITEMS, uids % N_CATS)
+            assert s.shape == (len(uids),)
+            cl.update(uids, uids % N_ITEMS, uids % N_CATS)
+        proc.send_signal(_signal.SIGTERM)
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    back = UserMemoryStore.load_bundle(str(bundle))
+    _, cnt = back._gather(uids)
+    np.testing.assert_array_equal(np.asarray(cnt), 10)  # 9 history + 1
+
+
+def test_update_padding_never_touches_real_users():
+    """Fused update batches pad to bucket sizes with the sentinel uid; no
+    real user's memory may change from padding."""
+    _, _, store = _store()
+    uids = np.arange(1, 6, dtype=np.int32)  # 5 -> bucket 8: 3 pad rows
+    _seed_users(store, uids)
+    batcher = MicroBatcher(store, max_batch=64, max_wait_ms=1.0)
+    try:
+        before = {u: np.asarray(store._gather(np.asarray([u]))[0])
+                  for u in uids}
+        fut = batcher.submit("update", {
+            "uids": [int(uids[0])], "item_ids": [7], "cat_ids": [7]})
+        fut.result(timeout=10)
+        after = {u: np.asarray(store._gather(np.asarray([u]))[0])
+                 for u in uids}
+        assert not np.allclose(after[uids[0]], before[uids[0]])
+        for u in uids[1:]:
+            np.testing.assert_array_equal(after[u], before[u])
+    finally:
+        batcher.close()
