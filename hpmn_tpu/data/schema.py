@@ -55,7 +55,20 @@ class Batch:
 
 
 def batch_from_numpy(arrays: dict, indices: Optional[np.ndarray] = None) -> Batch:
-    """Build a Batch from a dict of numpy arrays, optionally row-sliced."""
+    """Build a Batch from a dict of numpy arrays, optionally row-sliced.
+
+    Row-sliced assembly uses the native threaded gather when built
+    (data/native_batcher.py — one GIL-releasing call for all fields);
+    numpy fancy indexing is the always-available fallback and the oracle
+    (equality tested in tests/test_native_preprocess.py)."""
+    if indices is not None:
+        from . import native_batcher
+
+        names = [f.name for f in dataclasses.fields(Batch)]
+        if native_batcher.available() and all(
+                isinstance(arrays[n], np.ndarray) for n in names):
+            return Batch(**native_batcher.gather(
+                {n: arrays[n] for n in names}, indices))
 
     def take(name):
         a = arrays[name]

@@ -105,3 +105,59 @@ def test_process_events_truncates_to_seq_len():
                                   np.arange(22, 30))  # last 8 before target
     assert out["target_item"][0] == 30
     assert out["seq_mask"].sum() == 16
+
+
+# ---------------------------------------------------------------- batcher --
+
+
+def test_native_batcher_matches_numpy_gather():
+    """The threaded C++ gather == numpy fancy indexing for every Batch
+    field dtype/shape, including 2-D sequence fields and repeated ids."""
+    from hpmn_tpu.data import native_batcher
+
+    if not native_batcher.available():
+        pytest.skip("no g++ on this machine")
+    rng = np.random.default_rng(0)
+    N, T, B = 999, 37, 128
+    arrays = {
+        "a2d_i32": rng.integers(0, 1 << 20, (N, T)).astype(np.int32),
+        "a2d_f32": rng.normal(size=(N, T)).astype(np.float32),
+        "a1d_i32": rng.integers(0, 99, N).astype(np.int32),
+        "a1d_f64": rng.normal(size=N),
+    }
+    idx = rng.integers(0, N, B).astype(np.int64)  # with duplicates
+    got = native_batcher.gather(arrays, idx)
+    for k, a in arrays.items():
+        np.testing.assert_array_equal(got[k], a[idx], err_msg=k)
+    assert native_batcher.n_threads() >= 1
+
+
+def test_native_batcher_noncontiguous_fallback():
+    from hpmn_tpu.data import native_batcher
+
+    if not native_batcher.available():
+        pytest.skip("no g++ on this machine")
+    a = np.arange(40, dtype=np.int32).reshape(10, 4)[:, ::2]  # strided view
+    got = native_batcher.gather({"x": a}, np.array([3, 1, 1]))
+    np.testing.assert_array_equal(got["x"], a[[3, 1, 1]])
+
+
+def test_batch_from_numpy_uses_native_and_matches(monkeypatch):
+    """batch_from_numpy with indices == the pure-numpy path, and the env
+    kill-switch forces the fallback."""
+    from hpmn_tpu.data import native_batcher
+    from hpmn_tpu.data.schema import batch_from_numpy, dummy_batch
+
+    b = dummy_batch(32, 12, 500, 30, seed=1)
+    arrays = {k: np.asarray(getattr(b, k)) for k in
+              ("uid", "item_seq", "cat_seq", "seq_mask", "target_item",
+               "target_cat", "label", "neg_item_seq", "neg_cat_seq")}
+    idx = np.array([5, 3, 3, 31, 0])
+    fast = batch_from_numpy(arrays, idx)
+    monkeypatch.setenv("HPMN_TPU_NO_NATIVE_BATCHER", "1")
+    assert not native_batcher.available()
+    slow = batch_from_numpy(arrays, idx)
+    for k in arrays:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(fast, k)), np.asarray(getattr(slow, k)),
+            err_msg=k)
