@@ -71,7 +71,30 @@ def _bench_train_step(cfg, params, batches, n_dispatch=3, warmup=2, k=16):
     return batches[0].batch_size / dt
 
 
+def _probe_backend(timeout_s: int = 600) -> None:
+    """Fail loudly if device init hangs: the tunneled-TPU grant can wedge
+    (observed 2026-08-18: every process stuck in backend init after a
+    killed mid-dispatch run). A subprocess probe with a deadline turns a
+    silent multi-hour hang into one diagnosable JSON error line."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            check=True, capture_output=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(json.dumps({
+            "metric": "examples_per_s_per_chip", "value": None,
+            "unit": "examples/s/chip", "vs_baseline": None,
+            "error": f"device backend init exceeded {timeout_s}s "
+                     "(TPU tunnel unreachable)"}))
+        sys.exit(1)
+    except subprocess.CalledProcessError:
+        pass  # probe env oddity; let the real init try below
+
+
 def main():
+    _probe_backend()
     from hpmn_tpu.configs import get_config
     from hpmn_tpu.data.synthetic import XLONG
     from hpmn_tpu.models import init_model
