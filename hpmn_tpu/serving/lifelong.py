@@ -437,17 +437,35 @@ class UserMemoryStore:
         return store
 
     # ---------------------------------------------- deployment bundle --
-    def save_bundle(self, directory: str) -> None:
+    def save_bundle(self, directory: str,
+                    quantize_embeddings: bool = False) -> None:
         """Self-contained serving artifact: model params + the config
         fields serving needs + the user-memory snapshot, in one directory.
         A serving host needs nothing else (training checkpoints stay with
-        the trainer)."""
+        the trainer).
+
+        quantize_embeddings: store the 2-D embedding tables (the params'
+        dominant bytes) as per-row symmetric int8 (scale = max|row|/127) —
+        ~4x smaller artifact; ``load_bundle`` dequantizes to f32 on load so
+        serving numerics change only by the <=1/254-relative rounding of
+        table entries (score impact measured in tests/test_serving.py)."""
         import json
 
         self.save(directory)
         flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
-        arrays = {jax.tree_util.keystr(path): np.asarray(leaf)
-                  for path, leaf in flat}
+        arrays = {}
+        for path, leaf in flat:
+            key = jax.tree_util.keystr(path)
+            a = np.asarray(leaf)
+            if (quantize_embeddings and key.startswith("['embedding'][")
+                    and a.ndim == 2):
+                scale = np.abs(a).max(axis=1, keepdims=True) / 127.0
+                scale[scale == 0] = 1.0
+                q = np.clip(np.rint(a / scale), -127, 127).astype(np.int8)
+                arrays["__q8__" + key] = q
+                arrays["__q8scale__" + key] = scale.astype(np.float32)
+            else:
+                arrays[key] = a
         np.savez(os.path.join(directory, "params.npz"), **arrays)
         with open(os.path.join(directory, "serving_config.json"), "w") as f:
             json.dump({"config": self.cfg.to_dict(),
@@ -473,15 +491,27 @@ class UserMemoryStore:
         # saved arrays are placed by their keystr path.
         from ..models import init_model
 
-        vocab = {"n_items": int(z["['embedding']['item']"].shape[0]),
-                 "n_cats": int(z["['embedding']['cat']"].shape[0])}
-        n_users = (int(z["['embedding']['user']"].shape[0])
-                   if "['embedding']['user']" in z.files else 0)
+        def leaf(key):
+            if key in z.files:
+                return jnp.asarray(z[key])
+            # int8-quantized table (save_bundle(quantize_embeddings=True)):
+            # dequantize per-row symmetric on load.
+            q = z["__q8__" + key].astype(np.float32)
+            return jnp.asarray(q * z["__q8scale__" + key])
+
+        def rows(key):
+            full = key if key in z.files else "__q8__" + key
+            return int(z[full].shape[0])
+
+        vocab = {"n_items": rows("['embedding']['item']"),
+                 "n_cats": rows("['embedding']['cat']")}
+        has_user = ("['embedding']['user']" in z.files
+                    or "__q8__['embedding']['user']" in z.files)
+        n_users = rows("['embedding']['user']") if has_user else 0
         skeleton = init_model(jax.random.key(0), cfg, vocab["n_items"],
                               vocab["n_cats"], n_users=n_users)
         flat, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
-        leaves = [jnp.asarray(z[jax.tree_util.keystr(path)])
-                  for path, _ in flat]
+        leaves = [leaf(jax.tree_util.keystr(path)) for path, _ in flat]
         params = jax.tree_util.tree_unflatten(treedef, leaves)
         return cls.load(directory, cfg, params,
                         max_users=meta.get("max_users"),

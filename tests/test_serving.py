@@ -361,3 +361,39 @@ def test_serve_batch_cli(tmp_path):
     back = UserMemoryStore.load_bundle(str(bundle))
     _, cnt = back._gather(uids)
     np.testing.assert_array_equal(np.asarray(cnt), 10)
+
+
+def test_quantized_bundle_roundtrip(tmp_path):
+    """save_bundle(quantize_embeddings=True): ~4x smaller params artifact,
+    scores within int8 rounding of the f32 bundle, memories intact."""
+    import os
+
+    from hpmn_tpu.models import init_model as _init
+
+    n_items = 50_000  # realistic: tables must dominate the artifact bytes
+    cfg = get_config("taobao_hpmn")
+    params = _init(jax.random.key(0), cfg, n_items, N_CATS)
+    store = UserMemoryStore(cfg, params)
+    rng = np.random.default_rng(5)
+    uids = np.arange(8)
+    hist = rng.integers(1, n_items, size=(8, 12)).astype(np.int32)
+    store.ingest_histories(uids, hist, (hist % N_CATS).astype(np.int32))
+
+    d_f32, d_q8 = tmp_path / "f32", tmp_path / "q8"
+    d_f32.mkdir(), d_q8.mkdir()
+    store.save_bundle(str(d_f32))
+    store.save_bundle(str(d_q8), quantize_embeddings=True)
+
+    sz_f32 = os.path.getsize(d_f32 / "params.npz")
+    sz_q8 = os.path.getsize(d_q8 / "params.npz")
+    assert sz_q8 < 0.45 * sz_f32, (sz_q8, sz_f32)  # tables dominate
+
+    cand = rng.integers(1, n_items, size=8).astype(np.int32)
+    ref = UserMemoryStore.load_bundle(str(d_f32)).predict(
+        uids, cand, cand % N_CATS)
+    got_store = UserMemoryStore.load_bundle(str(d_q8))
+    got = got_store.predict(uids, cand, cand % N_CATS)
+    np.testing.assert_allclose(got, ref, atol=0.03)
+    assert not np.allclose(got, ref)  # actually quantized, not a no-op
+    _, cnt = got_store._gather(uids)
+    np.testing.assert_array_equal(np.asarray(cnt), 12)
