@@ -71,6 +71,16 @@ def base_config() -> ml_collections.ConfigDict:
     c.train = ml_collections.ConfigDict()
     c.train.batch_size = 128
     c.train.lr = 1e-3
+    # Optimizer extras (train.make_optimizer) — defaults reproduce plain
+    # Adam exactly (incl. opt-state tree structure for old checkpoints).
+    c.train.lr_schedule = "constant"  # constant | cosine | exponential
+    c.train.warmup_steps = 0  # linear 0 -> lr over this many steps
+    c.train.decay_steps = 0  # schedule horizon; 0 = train.max_steps
+    c.train.lr_min_ratio = 0.0  # end-of-decay lr as a fraction of lr
+    c.train.grad_clip_norm = 0.0  # global-norm clip; 0 = off
+    c.train.weight_decay = 0.0  # decoupled (adamw); loss.l2_weight is the
+    #                             penalty-term alternative
+    c.train.grad_accum = 1  # micro-batches per param update (MultiSteps)
     c.train.max_steps = 2000
     c.train.eval_every = 200
     c.train.early_stop_patience = 5  # evals without val-AUC improvement

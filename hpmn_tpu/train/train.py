@@ -47,7 +47,48 @@ def make_datasets(cfg):
 
 
 def make_optimizer(cfg) -> optax.GradientTransformation:
-    return optax.adam(cfg.train.lr)
+    """Adam (the reference's optimizer, SURVEY.md §2.1) plus config-gated
+    production options: lr schedules (linear warmup + cosine/exponential
+    decay), global-norm gradient clipping, decoupled weight decay (adamw —
+    distinct from loss.l2_weight, which penalizes the loss), and k-step
+    gradient accumulation (optax.MultiSteps; each driver step feeds one
+    micro-batch, params move every k-th). Defaults leave the transform as
+    plain optax.adam so existing checkpoints' opt-state trees keep their
+    exact structure."""
+    t = cfg.train
+    warmup = getattr(t, "warmup_steps", 0)
+    sched = getattr(t, "lr_schedule", "constant")
+    clip = getattr(t, "grad_clip_norm", 0.0)
+    wd = getattr(t, "weight_decay", 0.0)
+    accum = getattr(t, "grad_accum", 1)
+
+    lr = t.lr
+    if sched != "constant" or warmup > 0:
+        horizon = getattr(t, "decay_steps", 0) or t.max_steps
+        end = lr * getattr(t, "lr_min_ratio", 0.0)
+        if sched == "cosine":
+            body = optax.cosine_decay_schedule(lr, max(1, horizon - warmup),
+                                               alpha=end / lr if lr else 0.0)
+        elif sched == "exponential":
+            body = optax.exponential_decay(
+                lr, max(1, horizon - warmup),
+                decay_rate=max(end / lr, 1e-8) if lr else 1.0)
+        elif sched == "constant":
+            body = optax.constant_schedule(lr)
+        else:
+            raise ValueError(f"unknown lr_schedule {sched!r}")
+        if warmup > 0:
+            lr = optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, warmup), body], [warmup])
+        else:
+            lr = body
+
+    base = (optax.adamw(lr, weight_decay=wd) if wd > 0 else optax.adam(lr))
+    if clip > 0:
+        base = optax.chain(optax.clip_by_global_norm(clip), base)
+    if accum > 1:
+        base = optax.MultiSteps(base, every_k_schedule=accum)
+    return base
 
 
 def prefetch_to_device(iterator, place, size: int = 2):
