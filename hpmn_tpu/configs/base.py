@@ -109,6 +109,7 @@ def base_config() -> ml_collections.ConfigDict:
     c.mesh.seq_parallel = 1
     c.mesh.sp_microbatches = 4  # pipeline depth; bubble = (S-1)/(MB+S-1)
     c.mesh.sp_min_local_steps = 8  # below this chunk size, fall back local
+    c.mesh.sp_inner = "jnp"  # chunk-scan impl: jnp | pallas (fused kernel)
 
     c.eval_batch_size = 256
     return c

@@ -81,6 +81,7 @@ def sp_gru_sequence(params: GRUParams, x: jax.Array,
                     gate_scale: Optional[jax.Array] = None, *,
                     n_shards: int, axis_name: str = SEQ_AXIS,
                     microbatches: int = 4, min_local_steps: int = 8,
+                    inner: Optional[Callable] = None,
                     ) -> Tuple[jax.Array, jax.Array]:
     """T-sharded GRU scan for use INSIDE a shard_map over ``axis_name``.
 
@@ -89,13 +90,20 @@ def sp_gru_sequence(params: GRUParams, x: jax.Array,
     via psum of the last shard's pipeline-exit states). Falls back to the
     plain local scan when T doesn't split (or chunks would be tiny) —
     replicated compute, identical on every shard, still exact.
+
+    inner: chunk-scan implementation with ``gru_sequence``'s signature
+    (params, x, h0=, mask=, gate_scale=) -> (h_seq, h_T) — e.g. the fused
+    Pallas kernel (``ops.pallas_gru.pallas_gru_sequence``, batch-major
+    wrapper); defaults to the jnp scan.
     """
+    if inner is None:
+        inner = gru_sequence
     B, T, d_in = x.shape
     d_m = params.wh.shape[0]
     dtype = x.dtype
     T_loc = T // n_shards
     if n_shards == 1 or T % n_shards or T_loc < min_local_steps:
-        return gru_sequence(params, x, mask=mask, gate_scale=gate_scale)
+        return inner(params, x, mask=mask, gate_scale=gate_scale)
     if mask is None:
         mask = jnp.ones((B, T), dtype)
     if gate_scale is None:
@@ -125,8 +133,8 @@ def sp_gru_sequence(params: GRUParams, x: jax.Array,
         x_j = jax.lax.dynamic_index_in_dim(xm, j, 0, keepdims=False)
         m_j = jax.lax.dynamic_index_in_dim(mm, j, 0, keepdims=False)
         a_j = jax.lax.dynamic_index_in_dim(am, j, 0, keepdims=False)
-        h_seq_j, h_out = gru_sequence(params, x_j, h0=h_in, mask=m_j,
-                                      gate_scale=a_j)
+        h_seq_j, h_out = inner(params, x_j, h0=h_in, mask=m_j,
+                               gate_scale=a_j)
         # Masked buffer writes: bubble ticks compute on a clipped microbatch
         # and are discarded here (and their cotangents zeroed by the same
         # multiply on the way back).
@@ -155,13 +163,14 @@ def sp_gru_sequence(params: GRUParams, x: jax.Array,
 
 
 def sp_gru_seq_fn(n_shards: int, microbatches: int = 4,
-                  min_local_steps: int = 8) -> Callable:
+                  min_local_steps: int = 8,
+                  inner: Optional[Callable] = None) -> Callable:
     """Drop-in ``gru_seq_fn`` (signature (params, x, mask, gate_scale=None))
     for ``apply_model`` inside a shard_map with a seq axis."""
     def fn(p, xs, m, a=None):
         return sp_gru_sequence(p, xs, mask=m, gate_scale=a,
                                n_shards=n_shards, microbatches=microbatches,
-                               min_local_steps=min_local_steps)
+                               min_local_steps=min_local_steps, inner=inner)
     return fn
 
 
@@ -184,14 +193,27 @@ def make_sp_steps(cfg, tx, mesh: Mesh) -> Tuple[Callable, Callable]:
         raise ValueError("make_sp_steps requires replicated embedding "
                          "tables (mesh axes are (data, seq))")
     if cfg.model.use_pallas:
-        raise ValueError("make_sp_steps drives the jnp scans via gru_seq_fn; "
+        raise ValueError("make_sp_steps drives the scans via gru_seq_fn; "
                          "the Pallas time-major path ignores gru_seq_fn — "
-                         "set model.use_pallas=False for SP")
+                         "set model.use_pallas=False and pick the kernel "
+                         "with mesh.sp_inner='pallas' instead")
     n_seq = mesh.shape[SEQ_AXIS]
     k = cfg.train.steps_per_dispatch
+    sp_inner = getattr(cfg.mesh, "sp_inner", "jnp")
+    if sp_inner == "pallas":
+        # Fused kernel as the chunk scan (batch-major wrapper; the SP
+        # schedule is batch-major throughout). Kernel batch tiling wants
+        # large microbatches on real chips — size sp_microbatches so
+        # B/MB stays >= the kernel's batch tile (ops/pallas_gru.py).
+        from ..ops.pallas_gru import pallas_gru_sequence as inner
+    elif sp_inner == "jnp":
+        inner = None
+    else:
+        raise ValueError(f"unknown mesh.sp_inner {sp_inner!r}")
     sp_fn = sp_gru_seq_fn(
         n_seq, microbatches=getattr(cfg.mesh, "sp_microbatches", 4),
-        min_local_steps=getattr(cfg.mesh, "sp_min_local_steps", 8))
+        min_local_steps=getattr(cfg.mesh, "sp_min_local_steps", 8),
+        inner=inner)
 
     batch_spec = Batch(**{f.name: P(*(((None,) if k > 1 else ())
                                       + (DATA_AXIS,)))

@@ -146,6 +146,40 @@ def test_sp_train_step_matches_single_device(model):
 
 
 @pytest.mark.heavy
+def test_sp_train_step_pallas_inner_matches_single_device():
+    """mesh.sp_inner='pallas': the fused kernel as the SP chunk scan
+    (interpret mode on CPU) — step == single-device jnp step."""
+    import hpmn_tpu.ops.pallas_gru as pg
+
+    pg._INTERPRET = True
+    try:
+        mesh = make_sp_mesh(seq_parallel=4, devices=jax.devices()[:4])
+        cfg = get_config("amazon_hpmn")
+        cfg.model.use_pallas = False
+        cfg.model.hpmn_layers = 2
+        cfg.mesh.embedding_mode = "replicated"
+        cfg.mesh.sp_inner = "pallas"
+        cfg.mesh.sp_min_local_steps = 4
+        batch = to_device_arrays(dummy_batch(8, 16, N_ITEMS, N_CATS, seed=2))
+        tx = optax.sgd(1e-2)
+        params0 = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+        (_, _), g0 = jax.value_and_grad(loss_fn, has_aux=True)(params0, cfg,
+                                                               batch)
+        u0, _ = tx.update(g0, tx.init(params0), params0)
+        p_ref = optax.apply_updates(params0, u0)
+
+        jit_train, _ = make_sp_steps(cfg, tx, mesh)
+        step = jit_train(params0, tx.init(params0))
+        with mesh:
+            p2, _, m = step(params0, tx.init(params0), batch)
+        chex.assert_trees_all_close(jax.device_get(p2),
+                                    jax.device_get(p_ref), atol=2e-5)
+        assert np.isfinite(float(m["loss"]))
+    finally:
+        pg._INTERPRET = False
+
+
+@pytest.mark.heavy
 def test_train_driver_routes_seq_parallel():
     """cfg.mesh.seq_parallel > 1 routes the driver through make_sp_steps
     end to end (T=100 splits 4 ways; amazon config is CPU-runnable)."""
