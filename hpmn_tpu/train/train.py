@@ -354,19 +354,10 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             "history": history, "params": params}
 
 
-def main(argv=None):
-    """CLI: python -m hpmn_tpu.train.train --config amazon_hpmn
-    [--set key=value ...] — the reference's `python train.py <dataset>
-    <model>` equivalent (SURVEY.md §1 L5)."""
-    import argparse
-
-    p = argparse.ArgumentParser()
-    p.add_argument("--config", required=True)
-    p.add_argument("--set", nargs="*", default=[],
-                   help="dotted config overrides, e.g. train.max_steps=100")
-    args = p.parse_args(argv)
-    cfg = get_config(args.config)
-    for kv in args.set:
+def apply_overrides(cfg, kvs):
+    """Dotted `key=value` config overrides with type coercion from the
+    existing value (shared by the train CLI and the tools/ CLIs)."""
+    for kv in kvs:
         key, val = kv.split("=", 1)
         ref = cfg
         parts = key.split(".")
@@ -381,7 +372,21 @@ def main(argv=None):
         else:
             val = caster(val)
         ref[parts[-1]] = val
-    train(cfg)
+    return cfg
+
+
+def main(argv=None):
+    """CLI: python -m hpmn_tpu.train.train --config amazon_hpmn
+    [--set key=value ...] — the reference's `python train.py <dataset>
+    <model>` equivalent (SURVEY.md §1 L5)."""
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True)
+    p.add_argument("--set", nargs="*", default=[],
+                   help="dotted config overrides, e.g. train.max_steps=100")
+    args = p.parse_args(argv)
+    train(apply_overrides(get_config(args.config), args.set))
 
 
 if __name__ == "__main__":

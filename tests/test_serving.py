@@ -397,3 +397,49 @@ def test_quantized_bundle_roundtrip(tmp_path):
     assert not np.allclose(got, ref)  # actually quantized, not a no-op
     _, cnt = got_store._gather(uids)
     np.testing.assert_array_equal(np.asarray(cnt), 12)
+
+
+@pytest.mark.slow
+def test_export_bundle_cli(tmp_path):
+    """Checkpoint -> bundle as commands: train with ckpt_dir, export via
+    tools/export_bundle.py (with history bootstrap + quantization), serve
+    from the bundle."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    from hpmn_tpu.train.train import train
+
+    cfg = get_config("amazon_hpmn")
+    cfg.n_examples = 1500
+    cfg.train.batch_size = 64
+    cfg.train.max_steps = 30
+    cfg.train.eval_every = 15
+    cfg.train.log_every = 10 ** 9
+    cfg.mesh.enable = False
+    cfg.train.ckpt_dir = str(tmp_path / "ckpt")
+    train(cfg, log=lambda s: None)
+
+    rng = np.random.default_rng(0)
+    uids = np.arange(12, dtype=np.int64)
+    hist = rng.integers(1, 1000, size=(12, 40)).astype(np.int32)
+    np.savez(tmp_path / "hist.npz", uids=uids, item_seqs=hist,
+             cat_seqs=(hist % 50).astype(np.int32))
+
+    out = subprocess.run(
+        [_sys.executable, "tools/export_bundle.py",
+         "--ckpt_dir", str(tmp_path / "ckpt"), "--config", "amazon_hpmn",
+         "--out", str(tmp_path / "bundle"),
+         "--histories", str(tmp_path / "hist.npz"),
+         "--quantize", "--force_cpu"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "n_users=12" in out.stdout
+
+    server = UserMemoryStore.load_bundle(str(tmp_path / "bundle"))
+    scores = server.predict(uids, hist[:, 0], (hist[:, 0] % 50))
+    assert scores.shape == (12,)
+    assert ((scores > 0) & (scores < 1)).all()
+    _, cnt = server._gather(uids)
+    np.testing.assert_array_equal(np.asarray(cnt), 40)

@@ -1,0 +1,84 @@
+"""Export a training checkpoint as a self-contained serving bundle.
+
+    python tools/export_bundle.py --ckpt_dir DIR --config xlong_hpmn
+        [--set key=value ...] --out BUNDLE_DIR
+        [--step N]              # default: best-val-AUC step, else latest
+        [--histories hist.npz]  # bootstrap user memories (one batched
+                                # encode): uids [U], item_seqs [U, T],
+                                # cat_seqs [U, T], optional masks [U, T]
+        [--quantize]            # int8 per-row embedding tables (~4x smaller)
+        [--force_cpu]
+
+Completes the deployment loop as commands: `hpmn-train --set
+train.ckpt_dir=...` -> export_bundle -> `hpmn-serve --bundle ...`
+(docs/MIGRATION.md "Checkpoints, serving, deployment").
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt_dir", required=True)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--set", nargs="*", default=[])
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--step", type=int, default=None)
+    ap.add_argument("--histories", default="")
+    ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--force_cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    if args.force_cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")  # sitecustomize overrides env
+
+    import jax
+
+    from hpmn_tpu.configs import get_config
+    from hpmn_tpu.models import init_model
+    from hpmn_tpu.serving import UserMemoryStore
+    from hpmn_tpu.train.checkpoint import CheckpointManager
+    from hpmn_tpu.train.train import apply_overrides, make_optimizer
+
+    cfg = apply_overrides(get_config(args.config), args.set)
+    mngr = CheckpointManager(args.ckpt_dir)
+    step = args.step if args.step is not None else (
+        mngr.best_step() or mngr.latest_step())
+    if step is None:
+        sys.exit(f"no checkpoints in {args.ckpt_dir}")
+
+    # Pass 1 (untyped) reads the vocab sizes; pass 2 restores against a
+    # same-config init skeleton so namedtuple/None leaves come back typed.
+    raw = mngr.restore(step)
+    emb = raw["params"]["embedding"]
+    n_items, n_cats = emb["item"].shape[0], emb["cat"].shape[0]
+    n_users_emb = emb["user"].shape[0] if "user" in emb else 0
+    skeleton = init_model(jax.random.key(0), cfg, n_items, n_cats,
+                          n_users=n_users_emb)
+    tx = make_optimizer(cfg)
+    state = mngr.restore(step, template={
+        "params": skeleton, "opt_state": tx.init(skeleton),
+        "loader": {"epoch": 0, "step": 0, "seed": 0}, "step": 0})
+    mngr.close()
+
+    store = UserMemoryStore(cfg, state["params"])
+    if args.histories:
+        z = np.load(args.histories)
+        store.ingest_histories(z["uids"], z["item_seqs"], z["cat_seqs"],
+                               masks=z["masks"] if "masks" in z.files
+                               else None)
+    os.makedirs(args.out, exist_ok=True)
+    store.save_bundle(args.out, quantize_embeddings=args.quantize)
+    print(f"exported step {step} -> {args.out} "
+          f"(n_users={store.n_users}, quantized={args.quantize})")
+
+
+if __name__ == "__main__":
+    main()
