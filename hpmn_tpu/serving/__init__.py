@@ -1,7 +1,7 @@
 from .lifelong import UserMemoryStore, incremental_update
 
 __all__ = ["UserMemoryStore", "incremental_update", "ServingServer",
-           "ServingClient"]
+           "ServingClient", "ShardedServingClient"]
 
 
 def __getattr__(name):
@@ -13,4 +13,7 @@ def __getattr__(name):
     if name == "ServingClient":
         from .client import ServingClient
         return ServingClient
+    if name == "ShardedServingClient":
+        from .sharded import ShardedServingClient
+        return ShardedServingClient
     raise AttributeError(name)

@@ -177,3 +177,36 @@ def test_update_padding_never_touches_real_users():
             np.testing.assert_array_equal(after[u], before[u])
     finally:
         batcher.close()
+
+
+def test_sharded_serving_matches_single_store():
+    """Two independent daemons + uid-hash fan-out == one store with the
+    same params: update routing is sticky, scores identical, both shards
+    actually carry traffic."""
+    from hpmn_tpu.serving.sharded import ShardedServingClient
+
+    cfg, params, ref_store = _store()
+    uids = np.arange(1, 17, dtype=np.int64)
+    T = 9
+    items, cats = _seed_users(ref_store, uids, T=T)
+
+    stores = [_store()[2] for _ in range(2)]  # fresh stores, same key=0
+    with ServingServer(stores[0]) as s0, ServingServer(stores[1]) as s1:
+        with ShardedServingClient([(s0.host, s0.port),
+                                   (s1.host, s1.port)]) as cl:
+            # replay the same histories through the sharded surface
+            for t in range(T):
+                cl.update(uids, items[:, t], cats[:, t])
+            cand_i = (uids * 7 % N_ITEMS).astype(np.int32)
+            cand_c = cand_i % N_CATS
+            got = cl.predict(uids, cand_i, cand_c)
+            ref = ref_store.predict(uids, cand_i, cand_c)
+            np.testing.assert_allclose(got, ref, atol=1e-5)
+            # rank parity too
+            ci2 = np.stack([cand_i, cand_i + 1], 1) % N_ITEMS
+            got_r = cl.rank(uids, ci2, ci2 % N_CATS)
+            ref_r = ref_store.rank(uids, ci2, ci2 % N_CATS)
+            np.testing.assert_allclose(got_r, ref_r, atol=1e-5)
+            st = cl.stats()
+            assert len(st) == 2
+            assert all(s["n_users"] == 8 for s in st)  # even uid split
