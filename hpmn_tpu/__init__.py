@@ -20,4 +20,4 @@ SURVEY.md §0); citations in docstrings therefore point at the HPMN paper
 line n) rather than reference file:line.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # keep in sync with pyproject.toml
