@@ -18,18 +18,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
-def make_mesh(model_parallel: int = 1,
+def make_mesh(model_parallel: int = 1, seq_parallel: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """2-D mesh (data, model). model_parallel must divide the device count;
-    data-parallel size is n_devices // model_parallel."""
+    """Mesh (data, model), or (data, seq, model) when seq_parallel > 1 —
+    the full DP x SP x TP composition. The model axis stays innermost
+    (table-exchange collectives ride next-door ICI hops); the seq axis
+    sits between so adjacent time chunks are near neighbors too.
+    Data-parallel size is n_devices // (model_parallel * seq_parallel)."""
     if devices is None:
         devices = jax.devices()
     n = len(devices)
-    if n % model_parallel:
-        raise ValueError(f"{n} devices not divisible by "
-                         f"model_parallel={model_parallel}")
+    per = model_parallel * seq_parallel
+    if n % per:
+        raise ValueError(f"{n} devices not divisible by model_parallel*"
+                         f"seq_parallel={per}")
+    if seq_parallel > 1:
+        arr = np.asarray(devices).reshape(n // per, seq_parallel,
+                                          model_parallel)
+        return Mesh(arr, (DATA_AXIS, SEQ_AXIS, MODEL_AXIS))
     arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 

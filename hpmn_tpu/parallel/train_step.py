@@ -103,6 +103,14 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
     in-shard_map collective lookup, dense gradients are pmean'd over
     ("data", "model") (model copies are identical; averaging is exact) and
     row-sharded table gradients over "data" only. [B:5], SNIPPETS [S:36-49].
+
+    Composes with sequence parallelism: on a (data, seq, model) mesh
+    (``make_mesh(model_parallel, seq_parallel)``) the long scans run
+    T-sharded over "seq" via ``seq_parallel.sp_gru_seq_fn`` and every pmean
+    above additionally includes "seq" — exact for both the sequence-sharded
+    and replicated parts of the graph (derivation in seq_parallel's module
+    docstring; table cotangents from the SP'd layer-0 input arrive
+    chunk-localized with the n_seq factor the seq-pmean removes).
     """
     import dataclasses
 
@@ -112,8 +120,29 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
     from ..models import apply_model, loss_fn
     from ..models.losses import l2_parts
     from .embedding_sharding import local_lookup_fn
+    from .seq_parallel import SEQ_AXIS, sp_gru_seq_fn
 
     n_model = mesh.shape[MODEL_AXIS]
+    n_seq = mesh.shape.get(SEQ_AXIS, 1)
+    dense_axes = ((DATA_AXIS, SEQ_AXIS, MODEL_AXIS) if n_seq > 1
+                  else (DATA_AXIS, MODEL_AXIS))
+    table_axes = (DATA_AXIS, SEQ_AXIS) if n_seq > 1 else (DATA_AXIS,)
+    if n_seq > 1:
+        if cfg.model.use_pallas:
+            raise ValueError(
+                "seq axis in the mesh drives the scans via gru_seq_fn; the "
+                "Pallas time-major path ignores it — set "
+                "model.use_pallas=False (mesh.sp_inner='pallas' still runs "
+                "the fused kernel inside the SP schedule)")
+        if gru_seq_fn is not None:
+            raise ValueError("gru_seq_fn is owned by the seq axis here")
+        inner = None
+        if getattr(cfg.mesh, "sp_inner", "jnp") == "pallas":
+            from ..ops.pallas_gru import pallas_gru_sequence as inner
+        gru_seq_fn = sp_gru_seq_fn(
+            n_seq, microbatches=getattr(cfg.mesh, "sp_microbatches", 4),
+            min_local_steps=getattr(cfg.mesh, "sp_min_local_steps", 8),
+            inner=inner)
     k = cfg.train.steps_per_dispatch
     lookup = (local_lookup_fn(n_model, cfg.mesh.embedding_mode)
               if n_model > 1 else None)
@@ -132,8 +161,8 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
         keys = [getattr(p, "key", getattr(p, "name", getattr(p, "idx", None)))
                 for p in path]
         if "embedding" in keys and hasattr(g, "ndim") and g.ndim == 2:
-            return jax.lax.pmean(g, DATA_AXIS)
-        return jax.lax.pmean(g, (DATA_AXIS, MODEL_AXIS))
+            return jax.lax.pmean(g, table_axes)
+        return jax.lax.pmean(g, dense_axes)
 
     batch_spec = Batch(**{f.name: P(*(((None,) if k > 1 else ()) +
                                       (DATA_AXIS,)))
@@ -161,7 +190,7 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         metrics = jax.tree.map(
-            lambda m: jax.lax.pmean(m, (DATA_AXIS, MODEL_AXIS)), metrics)
+            lambda m: jax.lax.pmean(m, dense_axes), metrics)
         return params, opt_state, metrics
 
     if k > 1:

@@ -194,7 +194,32 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     tx = make_optimizer(cfg)
     use_mesh = (cfg.mesh.model_parallel > 1 or len(jax.devices()) > 1) \
         and cfg.mesh.enable and lookup_fn is None
-    if use_mesh and cfg.mesh.seq_parallel > 1:
+    if use_mesh and cfg.mesh.seq_parallel > 1 and \
+            cfg.mesh.model_parallel > 1:
+        # Full DP x SP x TP composition: (data, seq, model) mesh through
+        # the shard_map step (T-sharded scans + row-sharded tables).
+        from ..parallel import (init_sharded_model, make_mesh,
+                                make_shardmap_steps, param_shardings,
+                                shard_batch)
+
+        mesh = make_mesh(cfg.mesh.model_parallel, cfg.mesh.seq_parallel)
+        if cfg.mesh.embedding_mode == "replicated":
+            cfg.mesh.embedding_mode = "psum"
+        params = init_sharded_model(jax.random.key(cfg.seed), cfg,
+                                    spec.n_items, spec.n_cats, mesh,
+                                    n_users=spec.n_users)
+        opt_shardings = param_shardings(mesh, jax.eval_shape(tx.init, params))
+        opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
+        jit_train, jit_eval = make_shardmap_steps(cfg, tx, mesh)
+        train_step = jit_train(params, opt_state)
+        _eval_step = jit_eval(params)
+        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b))
+        place = lambda b: shard_batch(
+            mesh, b, stacked=cfg.train.steps_per_dispatch > 1)
+        log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
+            f"embedding_mode={cfg.mesh.embedding_mode}, "
+            f"sp_microbatches={cfg.mesh.sp_microbatches}")
+    elif use_mesh and cfg.mesh.seq_parallel > 1:
         # Sequence-parallel execution: T axis of the long scans sharded over
         # a (data, seq) mesh with pipelined carry handoff
         # (parallel/seq_parallel.py; SURVEY.md §2.3 SP row).

@@ -180,6 +180,49 @@ def test_sp_train_step_pallas_inner_matches_single_device():
 
 
 @pytest.mark.heavy
+@pytest.mark.parametrize("emode", ["psum", "a2a"])
+def test_composed_dp_sp_tp_step_matches_single_device(emode):
+    """The full DP x SP x TP composition: (data=2, seq=2, model=2) mesh
+    through make_shardmap_steps — row-sharded tables with collective
+    lookup, T-sharded layer scans, psum-DP — equals the single-device
+    step."""
+    from hpmn_tpu.parallel import (init_sharded_model, make_mesh,
+                                   make_shardmap_steps, pad_vocab,
+                                   param_shardings, shard_batch)
+
+    ni, nc = pad_vocab(96, 2), pad_vocab(24, 2)
+    mesh = make_mesh(model_parallel=2, seq_parallel=2,
+                     devices=jax.devices()[:8])
+    cfg = get_config("amazon_hpmn")
+    cfg.model.use_pallas = False
+    cfg.model.hpmn_layers = 2
+    cfg.mesh.embedding_mode = emode
+    cfg.mesh.sp_min_local_steps = 4
+    batch = to_device_arrays(dummy_batch(8, 16, ni, nc, seed=4))
+    tx = optax.sgd(1e-2)
+
+    params0 = init_model(jax.random.key(0), cfg, ni, nc)
+    (_, _), g0 = jax.value_and_grad(loss_fn, has_aux=True)(params0, cfg,
+                                                           batch)
+    u0, _ = tx.update(g0, tx.init(params0), params0)
+    p_ref = optax.apply_updates(params0, u0)
+
+    params = init_sharded_model(jax.random.key(0), cfg, ni, nc, mesh)
+    opt_state = jax.device_put(tx.init(params),
+                               param_shardings(mesh, tx.init(params)))
+    jit_train, jit_eval = make_shardmap_steps(cfg, tx, mesh)
+    step = jit_train(params, opt_state)
+    p2, _, metrics = step(params, opt_state, shard_batch(mesh, batch))
+    chex.assert_trees_all_close(jax.device_get(p2), jax.device_get(p_ref),
+                                atol=2e-5)
+    assert np.isfinite(float(metrics["loss"]))
+    logits_ref, _ = apply_model(p_ref, cfg, batch)
+    logits = jit_eval(p2)(p2, shard_batch(mesh, batch))
+    chex.assert_trees_all_close(np.asarray(jax.device_get(logits)),
+                                np.asarray(logits_ref), atol=1e-4)
+
+
+@pytest.mark.heavy
 def test_train_driver_routes_seq_parallel():
     """cfg.mesh.seq_parallel > 1 routes the driver through make_sp_steps
     end to end (T=100 splits 4 ways; amazon config is CPU-runnable)."""
