@@ -23,17 +23,20 @@ def evaluate(eval_step: Callable, params, loader: DataLoader) -> Dict[str, float
     (logits, labels) sets are merged across hosts before computing the
     exact AUC, so every host reports the identical global metric
     (SURVEY.md §5.5)."""
-    all_logits, all_labels = [], []
+    all_logits, all_labels, all_uids = [], [], []
     for batch, n_valid in loader.one_epoch():
         logits = _local_rows(eval_step(params, batch), batch.batch_size)
         all_logits.append(logits[:n_valid])
         all_labels.append(np.asarray(batch.label)[:n_valid])
+        all_uids.append(np.asarray(batch.uid)[:n_valid])
     logits = np.concatenate(all_logits) if all_logits else np.zeros((0,))
     labels = np.concatenate(all_labels) if all_labels else np.zeros((0,))
+    uids = np.concatenate(all_uids) if all_uids else np.zeros((0,))
     if jax.process_count() > 1:
-        logits, labels = _merge_across_hosts(logits, labels)
+        logits, labels, uids = _merge_across_hosts(logits, labels, uids)
     return {
         "auc": M.auc(logits, labels),
+        "gauc": M.gauc(logits, labels, uids),
         "log_loss": M.log_loss(logits, labels),
         "n": float(len(labels)),
     }
@@ -62,9 +65,12 @@ def _local_rows(arr, n_local: int) -> np.ndarray:
     return np.concatenate([seen[k] for k in sorted(seen)])[:n_local]
 
 
-def _merge_across_hosts(logits: np.ndarray, labels: np.ndarray):
-    """All-gather per-host (logits, labels) shards, padded to the max shard
-    length (ragged shards arise when the eval set doesn't divide evenly)."""
+def _merge_across_hosts(logits: np.ndarray, labels: np.ndarray,
+                        uids: np.ndarray):
+    """All-gather per-host (logits, labels, uids) shards, padded to the max
+    shard length (ragged shards arise when the eval set doesn't divide
+    evenly). uids travel too so GAUC groups users whose examples span
+    hosts (the loader shards examples round-robin, not by user)."""
     from jax.experimental import multihost_utils
 
     n = np.int64(len(logits))
@@ -74,11 +80,12 @@ def _merge_across_hosts(logits: np.ndarray, labels: np.ndarray):
     packed = np.stack([
         np.pad(logits.astype(np.float64), (0, pad)),
         np.pad(labels.astype(np.float64), (0, pad)),
+        np.pad(uids.astype(np.float64), (0, pad)),
     ])
-    gathered = multihost_utils.process_allgather(packed)  # [P, 2, n_max]
-    outs_l, outs_y = [], []
+    gathered = multihost_utils.process_allgather(packed)  # [P, 3, n_max]
+    outs = [[], [], []]
     for p in range(gathered.shape[0]):
         k = int(n_all[p])
-        outs_l.append(gathered[p, 0, :k])
-        outs_y.append(gathered[p, 1, :k])
-    return np.concatenate(outs_l), np.concatenate(outs_y)
+        for i in range(3):
+            outs[i].append(gathered[p, i, :k])
+    return tuple(np.concatenate(o) for o in outs)

@@ -44,3 +44,34 @@ def log_loss(scores_logits: np.ndarray, labels: np.ndarray) -> float:
     y = np.asarray(labels, np.float64).ravel()
     per = np.maximum(x, 0) - x * y + np.log1p(np.exp(-np.abs(x)))
     return float(per.mean())
+
+
+def gauc(scores: np.ndarray, labels: np.ndarray,
+         uids: np.ndarray) -> float:
+    """Group AUC: impression-weighted mean of per-user AUCs, skipping
+    users whose eval examples are single-class (no ranking defined).
+
+    The CTR-serving ranking metric (candidates are ranked within one
+    user's request, never across users): GAUC = sum_u w_u * AUC_u /
+    sum_u w_u with w_u = the user's impression count. Returns nan when no
+    user has both classes. Complements the global ``auc`` the paper
+    reports ([P §5.1.2]).
+    """
+    scores = np.asarray(scores, np.float64).ravel()
+    labels = np.asarray(labels).ravel()
+    uids = np.asarray(uids).ravel()
+    order = np.argsort(uids, kind="mergesort")
+    u_sorted = uids[order]
+    bounds = np.flatnonzero(np.diff(u_sorted)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(u_sorted)]])
+    total_w = 0.0
+    acc = 0.0
+    for s, e in zip(starts, ends):
+        grp = order[s:e]
+        a = auc(scores[grp], labels[grp])
+        if a == a:  # both classes present
+            w = float(e - s)
+            acc += w * a
+            total_w += w
+    return acc / total_w if total_w > 0 else float("nan")

@@ -341,7 +341,7 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         if step % cfg.train.eval_every < k or step >= cfg.train.max_steps:
             val = run_evaluate(eval_step, params, val_loader)
             log(f"step {step} VAL auc {val['auc']:.4f} "
-                f"log_loss {val['log_loss']:.4f}")
+                f"gauc {val['gauc']:.4f} log_loss {val['log_loss']:.4f}")
             if writer is not None:
                 writer.add_scalar("val/auc", val["auc"], step)
                 writer.add_scalar("val/log_loss", val["log_loss"], step)
@@ -368,7 +368,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             "loader": train_loader.state_dict(), "step": 0})
         params = restored["params"]
     test = run_evaluate(eval_step, params, test_loader)
-    log(f"TEST auc {test['auc']:.4f} log_loss {test['log_loss']:.4f}")
+    log(f"TEST auc {test['auc']:.4f} gauc {test['gauc']:.4f} "
+        f"log_loss {test['log_loss']:.4f}")
     if writer is not None:
         writer.add_scalar("test/auc", test["auc"], step)
         writer.add_scalar("test/log_loss", test["log_loss"], step)

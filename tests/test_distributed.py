@@ -63,8 +63,9 @@ rng2 = np.random.default_rng(100 + pid)
 n_local = 13 if pid == 0 else 7  # ragged on purpose
 logits = rng2.normal(size=n_local)
 labels = (rng2.random(n_local) > 0.5).astype(np.float64)
-gl, gy = _merge_across_hosts(logits, labels)
-assert len(gl) == 20, len(gl)
+uids = rng2.integers(0, 5, size=n_local)
+gl, gy, gu = _merge_across_hosts(logits, labels, uids)
+assert len(gl) == 20 and len(gu) == 20, len(gl)
 print(f"proc {pid} global_auc {auc(gl, gy):.10f}")
 
 # Full mini train+eval through the multi-host path: per-process loader
