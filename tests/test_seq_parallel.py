@@ -240,6 +240,40 @@ def test_train_driver_routes_seq_parallel():
     assert 0.0 <= res["best_val_auc"] <= 1.0
 
 
+@pytest.mark.heavy
+def test_sp_multistep_matches_sequential():
+    """SP path with steps_per_dispatch=2 == two sequential k=1 dispatches
+    (same collectives per step, fused via lax.scan)."""
+    import jax.numpy as jnp
+
+    mesh = make_sp_mesh(seq_parallel=4, devices=jax.devices()[:4])
+    cfg = get_config("amazon_hpmn")
+    cfg.model.use_pallas = False
+    cfg.model.hpmn_layers = 2
+    cfg.mesh.embedding_mode = "replicated"
+    tx = optax.sgd(1e-2)
+    batches = [to_device_arrays(dummy_batch(8, 16, N_ITEMS, N_CATS, seed=s))
+               for s in (0, 1)]
+    params0 = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+
+    cfg.train.steps_per_dispatch = 1
+    jit1, _ = make_sp_steps(cfg, tx, mesh)
+    step1 = jit1(params0, tx.init(params0))
+    p, o = params0, tx.init(params0)
+    with mesh:
+        for b in batches:
+            p, o, _ = step1(p, o, b)
+
+    cfg.train.steps_per_dispatch = 2
+    jit2, _ = make_sp_steps(cfg, tx, mesh)
+    step2 = jit2(params0, tx.init(params0))
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    with mesh:
+        p2, _, _ = step2(params0, tx.init(params0), stacked)
+    chex.assert_trees_all_close(jax.device_get(p2), jax.device_get(p),
+                                atol=1e-6)
+
+
 def test_make_sp_steps_guards():
     mesh = make_sp_mesh(seq_parallel=2, devices=jax.devices()[:2])
     cfg = get_config("amazon_hpmn")
