@@ -37,7 +37,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def bench_size(d: int, cfg, per_device_batch: int, steps: int,
-               use_pallas: bool):
+               use_pallas: bool, seq_parallel: int = 1,
+               model_parallel: int = 1):
     import jax
     import numpy as np
     import optax
@@ -49,8 +50,12 @@ def bench_size(d: int, cfg, per_device_batch: int, steps: int,
                                    shard_batch)
 
     spec = SPECS[cfg.dataset]
-    mesh = make_mesh(model_parallel=1, devices=jax.devices()[:d])
-    B = per_device_batch * d
+    mesh = make_mesh(model_parallel=model_parallel,
+                     seq_parallel=seq_parallel, devices=jax.devices()[:d])
+    n_data = d // (seq_parallel * model_parallel)
+    # Weak scaling holds per-DATA-shard work constant; seq/model shards
+    # cooperate on the same examples rather than adding more.
+    B = per_device_batch * n_data
     cfg.train.batch_size = B
     cfg.model.use_pallas = use_pallas
 
@@ -86,6 +91,10 @@ def main():
     ap.add_argument("--per_device_batch", type=int, default=0,
                     help="0 = auto: 512 on TPU, 8 on CPU mesh")
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--seq_parallel", type=int, default=1,
+                    help="seq-axis size within each mesh size (SP legs)")
+    ap.add_argument("--model_parallel", type=int, default=1,
+                    help="model-axis size within each mesh size (TP legs)")
     ap.add_argument("--force_cpu", action="store_true",
                     help="run on virtual CPU devices (harness validation)")
     args = ap.parse_args()
@@ -111,14 +120,28 @@ def main():
         cfg.model.use_pallas = False
 
     n_dev = len(jax.devices())
+    if args.seq_parallel > 1:
+        cfg.mesh.seq_parallel = args.seq_parallel
+        cfg.model.use_pallas = False  # seq axis owns gru_seq_fn
+    if args.model_parallel > 1 and cfg.mesh.embedding_mode == "replicated":
+        cfg.mesh.embedding_mode = "psum"
     out = {"metric": "dp_weak_scaling", "platform": platform,
-           "config": args.config, "per_device_batch": pdb, "sizes": {}}
+           "config": args.config, "per_device_batch": pdb,
+           "seq_parallel": args.seq_parallel,
+           "model_parallel": args.model_parallel, "sizes": {}}
     base = None
     for d in sizes:
         if d > n_dev:
             print(f"# skipping size {d}: only {n_dev} devices", file=sys.stderr)
             continue
-        ex_s = bench_size(d, cfg, pdb, args.steps, use_pallas=not is_cpu)
+        if d % (args.seq_parallel * args.model_parallel):
+            print(f"# skipping size {d}: not divisible by seq*model",
+                  file=sys.stderr)
+            continue
+        ex_s = bench_size(d, cfg, pdb, args.steps,
+                          use_pallas=not is_cpu and args.seq_parallel == 1,
+                          seq_parallel=args.seq_parallel,
+                          model_parallel=args.model_parallel)
         per_dev = ex_s / d
         if base is None:
             base = per_dev
