@@ -113,3 +113,73 @@ def test_best_k_by_val_auc(setup, tmp_path):
         mngr.save(step, params, opt, loader.state_dict(), {"val_auc": auc})
     assert mngr.best_step() == 2
     mngr.close()
+
+
+@pytest.mark.slow
+def test_sigkill_mid_run_resumes_to_identical_result(tmp_path):
+    """Preemption tolerance as the OS sees it (SURVEY.md §5.3): SIGKILL the
+    training CLI between checkpoints, relaunch the same command, and the
+    resumed run must land on the SAME final TEST metrics as an
+    uninterrupted run — the checkpoint carries params + Adam state + the
+    loader position, and replayed steps are deterministic."""
+    import os
+    import signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    # Force the subprocesses onto CPU: drop the axon sitecustomize from
+    # PYTHONPATH (it force-registers the tunneled TPU and overrides
+    # JAX_PLATFORMS) — same recipe as the verify skill's CPU drives.
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+
+    def cmd(ckpt):
+        return [_sys.executable, "-u", "-m", "hpmn_tpu.train.train",
+                "--config", "amazon_hpmn", "--set",
+                "n_examples=2000", "train.batch_size=64",
+                "train.max_steps=60", "train.eval_every=20",
+                "train.log_every=1000000", "mesh.enable=False",
+                f"train.ckpt_dir={ckpt}",
+                "train.early_stop_patience=1000000"]
+
+    def final_test_line(text):
+        lines = [l for l in text.splitlines() if l.startswith("TEST ")]
+        assert lines, text[-2000:]
+        return lines[-1]
+
+    # Uninterrupted reference run.
+    a = subprocess.run(cmd(str(tmp_path / "a")), capture_output=True,
+                       text=True, timeout=600, cwd=repo, env=env)
+    assert a.returncode == 0, a.stderr[-2000:]
+    ref = final_test_line(a.stdout)
+
+    # Interrupted run: SIGKILL after the first checkpoint lands.
+    proc = subprocess.Popen(cmd(str(tmp_path / "b")), stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL, text=True, cwd=repo,
+                            env=env)
+    try:
+        deadline = _time.time() + 300
+        saw_val = False
+        while _time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            if "VAL auc" in line:
+                saw_val = True
+                break
+        assert saw_val, "never reached the first eval/checkpoint"
+        _time.sleep(1.0)  # mngr.save wait_until_finished has returned by now
+        proc.send_signal(signal.SIGKILL)
+        proc.wait(timeout=30)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    # Relaunch the identical command: auto-resume from latest checkpoint.
+    b2 = subprocess.run(cmd(str(tmp_path / "b")), capture_output=True,
+                        text=True, timeout=600, cwd=repo, env=env)
+    assert b2.returncode == 0, b2.stderr[-2000:]
+    assert "resumed from step" in b2.stdout, b2.stdout[-2000:]
+    assert final_test_line(b2.stdout) == ref, (final_test_line(b2.stdout),
+                                               ref)
