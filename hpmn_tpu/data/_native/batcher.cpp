@@ -13,7 +13,8 @@
 // Interface (C, for ctypes): one call gathers B rows for all fields of a
 // batch, so the thread pool is paid once per batch. Threads are a lazy
 // persistent pool sized to the hardware; ctypes releases the GIL for the
-// call's duration, so gather overlaps the training dispatch loop.
+// call's duration, so other Python threads (e.g. a serving daemon's
+// handlers) keep running while a gather is in flight.
 
 #include <atomic>
 #include <condition_variable>
@@ -36,11 +37,15 @@ class Pool {
   int size() const { return static_cast<int>(workers_.size()); }
 
   // Run fn(chunk_index) for chunks [0, n_chunks); blocks until all done.
+  // Concurrent callers serialize on call_mu_: ctypes releases the GIL for
+  // batcher_gather, so two Python threads can reach here at once, and the
+  // per-call scheduling state (fn_/next_chunk_/pending_) is single-job.
   void run(int n_chunks, const std::function<void(int)>& fn) {
     if (n_chunks <= 1 || workers_.empty()) {
       for (int c = 0; c < n_chunks; ++c) fn(c);
       return;
     }
+    std::lock_guard<std::mutex> call_lock(call_mu_);
     {
       std::unique_lock<std::mutex> lk(mu_);
       fn_ = &fn;
@@ -103,6 +108,7 @@ class Pool {
   }
 
   std::vector<std::thread> workers_;
+  std::mutex call_mu_;  // serializes whole run() calls
   std::mutex mu_;
   std::condition_variable cv_work_, cv_done_;
   const std::function<void(int)>* fn_ = nullptr;

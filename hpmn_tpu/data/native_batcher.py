@@ -96,6 +96,14 @@ def gather(arrays: Dict[str, np.ndarray], idx: np.ndarray,
     idx = np.ascontiguousarray(idx, np.int32)
     names = list(order) if order is not None else list(arrays)
     native = [n for n in names if _eligible(arrays[n])]
+    if idx.size and native:
+        # The C++ core does raw pointer reads — out-of-range indices must
+        # keep numpy's loud/defined semantics (IndexError / negative
+        # wraparound), not silently read adjacent memory. Any such index
+        # routes the whole call to the numpy oracle path.
+        lo, hi = int(idx.min()), int(idx.max())
+        if lo < 0 or hi >= min(arrays[n].shape[0] for n in native):
+            native = []
     out: Dict[str, np.ndarray] = {
         n: arrays[n][idx] for n in names if n not in native}  # fallback
     if not native:

@@ -174,6 +174,27 @@ def sp_gru_seq_fn(n_shards: int, microbatches: int = 4,
     return fn
 
 
+def resolve_sp_fn(cfg, n_shards: int) -> Callable:
+    """Build the SP gru_seq_fn from the config — the ONE place
+    ``mesh.sp_inner`` is interpreted (a typo must error on every path, not
+    silently fall back to the jnp scan)."""
+    sp_inner = getattr(cfg.mesh, "sp_inner", "jnp")
+    if sp_inner == "pallas":
+        # Fused kernel as the chunk scan (batch-major wrapper; the SP
+        # schedule is batch-major throughout). Size sp_microbatches so
+        # B/MB stays >= the kernel's batch tile on real chips
+        # (ops/pallas_gru.py).
+        from ..ops.pallas_gru import pallas_gru_sequence as inner
+    elif sp_inner == "jnp":
+        inner = None
+    else:
+        raise ValueError(f"unknown mesh.sp_inner {sp_inner!r}")
+    return sp_gru_seq_fn(
+        n_shards, microbatches=getattr(cfg.mesh, "sp_microbatches", 4),
+        min_local_steps=getattr(cfg.mesh, "sp_min_local_steps", 8),
+        inner=inner)
+
+
 def make_sp_steps(cfg, tx, mesh: Mesh) -> Tuple[Callable, Callable]:
     """shard_map train/eval steps over a (data, seq) mesh.
 
@@ -199,21 +220,7 @@ def make_sp_steps(cfg, tx, mesh: Mesh) -> Tuple[Callable, Callable]:
                          "with mesh.sp_inner='pallas' instead")
     n_seq = mesh.shape[SEQ_AXIS]
     k = cfg.train.steps_per_dispatch
-    sp_inner = getattr(cfg.mesh, "sp_inner", "jnp")
-    if sp_inner == "pallas":
-        # Fused kernel as the chunk scan (batch-major wrapper; the SP
-        # schedule is batch-major throughout). Kernel batch tiling wants
-        # large microbatches on real chips — size sp_microbatches so
-        # B/MB stays >= the kernel's batch tile (ops/pallas_gru.py).
-        from ..ops.pallas_gru import pallas_gru_sequence as inner
-    elif sp_inner == "jnp":
-        inner = None
-    else:
-        raise ValueError(f"unknown mesh.sp_inner {sp_inner!r}")
-    sp_fn = sp_gru_seq_fn(
-        n_seq, microbatches=getattr(cfg.mesh, "sp_microbatches", 4),
-        min_local_steps=getattr(cfg.mesh, "sp_min_local_steps", 8),
-        inner=inner)
+    sp_fn = resolve_sp_fn(cfg, n_seq)
 
     batch_spec = Batch(**{f.name: P(*(((None,) if k > 1 else ())
                                       + (DATA_AXIS,)))

@@ -120,7 +120,7 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
     from ..models import apply_model, loss_fn
     from ..models.losses import l2_parts
     from .embedding_sharding import local_lookup_fn
-    from .seq_parallel import SEQ_AXIS, sp_gru_seq_fn
+    from .seq_parallel import SEQ_AXIS, resolve_sp_fn
 
     n_model = mesh.shape[MODEL_AXIS]
     n_seq = mesh.shape.get(SEQ_AXIS, 1)
@@ -136,13 +136,7 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
                 "the fused kernel inside the SP schedule)")
         if gru_seq_fn is not None:
             raise ValueError("gru_seq_fn is owned by the seq axis here")
-        inner = None
-        if getattr(cfg.mesh, "sp_inner", "jnp") == "pallas":
-            from ..ops.pallas_gru import pallas_gru_sequence as inner
-        gru_seq_fn = sp_gru_seq_fn(
-            n_seq, microbatches=getattr(cfg.mesh, "sp_microbatches", 4),
-            min_local_steps=getattr(cfg.mesh, "sp_min_local_steps", 8),
-            inner=inner)
+        gru_seq_fn = resolve_sp_fn(cfg, n_seq)
     k = cfg.train.steps_per_dispatch
     lookup = (local_lookup_fn(n_model, cfg.mesh.embedding_mode)
               if n_model > 1 else None)

@@ -16,12 +16,16 @@ of [B:5]. The pieces:
   arena writes happen on one thread, by construction.
 
 - **Shape bucketing** — every distinct batch shape jit-compiles a new
-  program, so fused batches are padded up to a small set of bucket sizes
-  (powers of two up to ``max_batch``). predict/rank pads replicate the
-  first request row (scores discarded on split); update pads target a
-  reserved sentinel user whose arena row absorbs the no-op writes — padding
-  must never double-apply an event to a real user. rank groups additionally
-  key on the candidate count C.
+  program, so fused batches are padded up to power-of-two bucket sizes.
+  predict/rank pads replicate the first request row (scores discarded on
+  split); update pads replicate the first (uid, event) row WHOLE, which is
+  exact because the store gathers all rows before writing any — duplicates
+  of one pair collapse to a single application, so padding never
+  double-applies an event and no sentinel user exists to evict or persist.
+  The same gather-before-write fact means one fused batch must not carry
+  two DIFFERENT events for one uid; updates split greedily into
+  conflict-free sub-batches. rank groups additionally key on the
+  candidate count C.
 
 - **Frame protocol** — length-prefixed JSON: 4-byte big-endian length +
   UTF-8 JSON object per message, both directions. Methods: ``predict``
@@ -49,10 +53,6 @@ from concurrent.futures import Future
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
-
-# Reserved uid whose arena row absorbs update-padding writes. Kept far above
-# any real uid a test/deployment uses; documented in the bundle docs.
-PAD_UID = np.int32(2**31 - 1)
 
 _HDR = struct.Struct(">I")
 _MAX_FRAME = 64 << 20
@@ -87,10 +87,16 @@ def write_frame(sock: socket.socket, obj: dict) -> None:
 
 
 def _bucket(n: int, max_batch: int) -> int:
+    """Next power of two >= n. Always rounds up — max_batch caps the
+    REQUEST count per drain, but fused ROW counts can exceed it (many
+    multi-row requests), and exact sizes there would compile one XLA
+    program per distinct total. del max_batch from the math; kept in the
+    signature for the stats label."""
+    del max_batch
     b = 1
     while b < n:
         b <<= 1
-    return min(b, max(max_batch, n))
+    return b
 
 
 class MicroBatcher:
@@ -117,8 +123,8 @@ class MicroBatcher:
 
     def close(self) -> None:
         self._stop.set()
-        self._q.put(None)  # wake the dispatcher
-        self._thread.join(timeout=5)
+        self._q.put(None)  # wake the dispatcher; it drains the queue first
+        self._thread.join(timeout=60)
 
     # ---------------------------------------------------- dispatcher ----
 
@@ -147,14 +153,27 @@ class MicroBatcher:
         return items
 
     def _run(self) -> None:
-        while not self._stop.is_set():
+        while True:
             items = self._drain()
             if not items:
+                # On shutdown keep draining until the queue is empty so
+                # accepted requests (e.g. updates a client was promised)
+                # complete before close() returns and --save_on_exit
+                # persists (tested: no dropped futures on SIGTERM).
+                if self._stop.is_set():
+                    return
                 continue
             groups: Dict[tuple, List[Tuple[dict, Future]]] = {}
             order: List[tuple] = []
             for method, payload, fut in items:
-                key = self._group_key(method, payload)
+                try:
+                    # Parses untrusted payload — a malformed request must
+                    # fail ITS future, never the dispatcher thread.
+                    key = self._group_key(method, payload)
+                except Exception as e:
+                    fut.set_exception(
+                        ValueError(f"malformed {method} payload: {e}"))
+                    continue
                 if key not in groups:
                     groups[key] = []
                     order.append(key)
@@ -184,8 +203,57 @@ class MicroBatcher:
         for (_, fut), res in zip(reqs, results):
             fut.set_result(res)
 
+    @staticmethod
+    def _conflict_free(reqs):
+        """Greedy split of update requests into sub-batches where no uid
+        repeats (FIFO order preserved within each user's stream: a request
+        bumped to a later sub-batch still executes after the earlier one)."""
+        batches: List[Tuple[list, set]] = []
+        for item in reqs:
+            us = set(int(u) for u in item[0]["uids"])
+            for sub, seen in batches:
+                if not (us & seen):
+                    sub.append(item)
+                    seen |= us
+                    break
+            else:
+                batches.append(([item], us))
+        return [sub for sub, _ in batches]
+
+    def _run_update(self, reqs: List[Tuple[dict, Future]]) -> None:
+        uids = np.concatenate(
+            [np.asarray(r["uids"], np.int32) for r, _ in reqs])
+        items = np.concatenate(
+            [np.asarray(r["item_ids"], np.int32) for r, _ in reqs])
+        cats = np.concatenate(
+            [np.asarray(r["cat_ids"], np.int32) for r, _ in reqs])
+        n = uids.shape[0]
+        pad = _bucket(n, self.max_batch) - n
+        if pad:
+            # Replicate the first row WHOLE (uid + event). Exact: the
+            # store gathers all rows before writing, so duplicates of one
+            # (uid, event) pair collapse to a single application — no
+            # sentinel user, nothing to evict or persist.
+            uids = np.concatenate([uids, np.repeat(uids[:1], pad)])
+            items = np.concatenate([items, np.repeat(items[:1], pad)])
+            cats = np.concatenate([cats, np.repeat(cats[:1], pad)])
+        self.stats["requests"] += len(reqs)
+        self.stats["batches"] += 1
+        self.stats["fused_rows"] += n
+        self.stats["padded_rows"] += pad
+        self.store.update(uids, items, cats)
+
     def _execute(self, method: str,
                  reqs: List[Tuple[dict, Future]]) -> List[object]:
+        if method == "update":
+            # A fused update batch must not contain the same uid twice:
+            # the store gathers all rows BEFORE writing any, so two events
+            # for one user would collapse to one (last write wins). Split
+            # the requests greedily into conflict-free sub-batches.
+            for sub in self._conflict_free(reqs):
+                self._run_update(sub)
+            return [{"ok": True} for _ in reqs]
+
         sizes = [len(r["uids"]) for r, _ in reqs]
         uids = np.concatenate(
             [np.asarray(r["uids"], np.int32) for r, _ in reqs])
@@ -204,15 +272,6 @@ class MicroBatcher:
                 a = np.concatenate([a, np.broadcast_to(
                     pad_row, (pad,) + a.shape[1:]).astype(np.int32)])
             return a
-
-        if method == "update":
-            if pad:
-                uids = np.concatenate(
-                    [uids, np.full((pad,), PAD_UID, np.int32)])
-            items = cat("item_ids", np.int32(0))
-            cats = cat("cat_ids", np.int32(0))
-            self.store.update(uids, items, cats)
-            return [{"ok": True} for _ in reqs]
 
         if pad:  # replicate row 0; its scores are sliced away below
             uids = np.concatenate([uids, np.repeat(uids[:1], pad)])

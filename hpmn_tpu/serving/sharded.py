@@ -17,7 +17,6 @@ is what keeps update→predict sequences coherent without any routing state.
 
 from __future__ import annotations
 
-import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import List, Sequence, Tuple
 
@@ -42,7 +41,6 @@ class ShardedServingClient:
         self._pool = ThreadPoolExecutor(
             max_workers=len(self._clients),
             thread_name_prefix="serving-shard")
-        self._lock = threading.Lock()
 
     @property
     def n_shards(self) -> int:
@@ -52,11 +50,13 @@ class ShardedServingClient:
         shard = uids % self.n_shards
         return [np.flatnonzero(shard == s) for s in range(self.n_shards)]
 
-    def _fan(self, call, uids, *fields):
+    def _fan(self, call, uids, *fields, empty_tail=()):
         """Partition by uid, run call(client, sub_uids, *sub_fields) per
-        non-empty shard concurrently, reassemble row results in order."""
+        non-empty shard concurrently, reassemble row results in order.
+        empty_tail: trailing result shape for the zero-uid case so callers
+        always get an array (matching ServingClient semantics)."""
         uids = np.asarray(uids)
-        parts = self._partition(uids)
+        parts = self._partition(uids) if len(uids) else []
         futs = []
         for s, part in enumerate(parts):
             if len(part) == 0:
@@ -72,6 +72,8 @@ class ShardedServingClient:
             if out is None:
                 out = np.empty((len(uids),) + res.shape[1:], res.dtype)
             out[part] = res
+        if out is None:
+            out = np.zeros((0,) + tuple(empty_tail), np.float32)
         return out
 
     def predict(self, uids, cand_items, cand_cats) -> np.ndarray:
@@ -79,8 +81,10 @@ class ShardedServingClient:
                          uids, cand_items, cand_cats)
 
     def rank(self, uids, cand_items, cand_cats) -> np.ndarray:
+        ci = np.asarray(cand_items)
+        tail = (ci.shape[1],) if ci.ndim == 2 else ()
         return self._fan(lambda c, u, i, k: c.rank(u, i, k),
-                         uids, cand_items, cand_cats)
+                         uids, cand_items, cand_cats, empty_tail=tail)
 
     def update(self, uids, item_ids, cat_ids) -> None:
         self._fan(lambda c, u, i, k: c.update(u, i, k),

@@ -161,3 +161,19 @@ def test_batch_from_numpy_uses_native_and_matches(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(getattr(fast, k)), np.asarray(getattr(slow, k)),
             err_msg=k)
+
+
+def test_native_batcher_oob_indices_keep_numpy_semantics():
+    """Out-of-range / negative indices must behave like numpy (loud
+    IndexError / wraparound), never raw pointer reads."""
+    from hpmn_tpu.data import native_batcher
+
+    if not native_batcher.available():
+        pytest.skip("no g++ on this machine")
+    a = np.arange(20, dtype=np.int32).reshape(10, 2)
+    # negative wraps like numpy
+    got = native_batcher.gather({"x": a}, np.array([-1, 2]))
+    np.testing.assert_array_equal(got["x"], a[[-1, 2]])
+    # out of range raises like numpy
+    with pytest.raises(IndexError):
+        native_batcher.gather({"x": a}, np.array([3, 10]))

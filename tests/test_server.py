@@ -35,7 +35,10 @@ def test_bucket_sizes():
     assert _bucket(1, 256) == 1
     assert _bucket(3, 256) == 4
     assert _bucket(17, 256) == 32
-    assert _bucket(300, 256) == 300  # above max_batch: exact size
+    # Above max_batch STILL rounds up: max_batch caps request count per
+    # drain, not fused row count — exact sizes there would compile one
+    # XLA program per distinct total.
+    assert _bucket(300, 256) == 512
 
 
 def test_server_predict_rank_update_roundtrip():
@@ -157,26 +160,86 @@ def test_serve_daemon_cli(tmp_path):
     np.testing.assert_array_equal(np.asarray(cnt), 10)  # 9 history + 1
 
 
-def test_update_padding_never_touches_real_users():
-    """Fused update batches pad to bucket sizes with the sentinel uid; no
-    real user's memory may change from padding."""
-    _, _, store = _store()
+def test_update_padding_is_exact_and_creates_no_users():
+    """Fused update batches pad by replicating the first (uid, event) row;
+    the duplicate collapses to ONE event application (gather-before-write),
+    other users are untouched, and no sentinel/extra user is created —
+    the padded fused update equals a direct store.update."""
+    _, params, store = _store()
     uids = np.arange(1, 6, dtype=np.int32)  # 5 -> bucket 8: 3 pad rows
     _seed_users(store, uids)
+    ref = _store()[2]
+    _seed_users(ref, uids)
     batcher = MicroBatcher(store, max_batch=64, max_wait_ms=1.0)
     try:
-        before = {u: np.asarray(store._gather(np.asarray([u]))[0])
-                  for u in uids}
+        items = (uids * 3 % N_ITEMS).astype(np.int32)
         fut = batcher.submit("update", {
-            "uids": [int(uids[0])], "item_ids": [7], "cat_ids": [7]})
+            "uids": uids.tolist(), "item_ids": items.tolist(),
+            "cat_ids": (items % N_CATS).tolist()})
         fut.result(timeout=10)
-        after = {u: np.asarray(store._gather(np.asarray([u]))[0])
-                 for u in uids}
-        assert not np.allclose(after[uids[0]], before[uids[0]])
-        for u in uids[1:]:
-            np.testing.assert_array_equal(after[u], before[u])
+        ref.update(uids, items, (items % N_CATS).astype(np.int32))
+        m1, c1 = store._gather(uids)
+        m2, c2 = ref._gather(uids)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        assert store.n_users == len(uids)  # padding created no user
     finally:
         batcher.close()
+
+
+def test_fused_updates_same_user_apply_sequentially():
+    """Two queued updates for the SAME uid must both land (the dispatcher
+    splits conflicting requests into sequential sub-batches — a single
+    fused gather-before-write batch would drop one)."""
+    _, _, store = _store()
+    _seed_users(store, np.array([5], np.int32), T=3)
+    ref = _store()[2]
+    _seed_users(ref, np.array([5], np.int32), T=3)
+    batcher = MicroBatcher(store, max_batch=64, max_wait_ms=200.0)
+    try:
+        f1 = batcher.submit("update", {"uids": [5], "item_ids": [10],
+                                       "cat_ids": [10 % N_CATS]})
+        f2 = batcher.submit("update", {"uids": [5], "item_ids": [11],
+                                       "cat_ids": [11 % N_CATS]})
+        f1.result(timeout=10), f2.result(timeout=10)
+        ref.update([5], [10], [10 % N_CATS])
+        ref.update([5], [11], [11 % N_CATS])
+        m1, c1 = store._gather(np.array([5]))
+        m2, c2 = ref._gather(np.array([5]))
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2),
+                                   atol=1e-6)
+    finally:
+        batcher.close()
+
+
+def test_malformed_rank_fails_request_not_dispatcher():
+    """A malformed payload must error THAT request; the dispatcher keeps
+    serving afterwards."""
+    _, _, store = _store()
+    _seed_users(store, np.arange(1, 4, dtype=np.int32))
+    with ServingServer(store) as srv:
+        with ServingClient(srv.host, srv.port) as cl:
+            with pytest.raises(RuntimeError, match="malformed|scores"):
+                cl._call("rank", uids=[1], cand_items=[2], cand_cats=[2])
+            s = cl.predict([1], [2], [2 % N_CATS])  # still alive
+            assert s.shape == (1,)
+
+
+def test_close_flushes_queued_updates():
+    """close() drains accepted requests before returning (the
+    --save_on_exit contract)."""
+    _, _, store = _store()
+    _seed_users(store, np.arange(1, 9, dtype=np.int32))
+    batcher = MicroBatcher(store, max_batch=2, max_wait_ms=0.0)
+    futs = [batcher.submit("update", {"uids": [int(u)], "item_ids": [3],
+                                      "cat_ids": [3]})
+            for u in range(1, 9)]
+    batcher.close()
+    assert all(f.done() for f in futs)
+    _, cnt = store._gather(np.arange(1, 9))
+    np.testing.assert_array_equal(np.asarray(cnt), 10)  # 9 hist + 1 each
 
 
 def test_sharded_serving_matches_single_store():
@@ -210,3 +273,17 @@ def test_sharded_serving_matches_single_store():
             st = cl.stats()
             assert len(st) == 2
             assert all(s["n_users"] == 8 for s in st)  # even uid split
+
+
+def test_sharded_client_empty_request_returns_arrays():
+    from hpmn_tpu.serving.sharded import ShardedServingClient
+
+    _, _, store = _store()
+    _seed_users(store, np.arange(1, 4, dtype=np.int32))
+    with ServingServer(store) as srv:
+        with ShardedServingClient([(srv.host, srv.port)]) as cl:
+            p = cl.predict([], [], [])
+            assert p.shape == (0,)
+            r = cl.rank(np.zeros((0,), np.int64),
+                        np.zeros((0, 4), np.int32), np.zeros((0, 4), np.int32))
+            assert r.shape == (0, 4)

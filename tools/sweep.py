@@ -57,7 +57,10 @@ def main(argv=None):
                "test_gauc": res["test"]["gauc"],
                "test_log_loss": res["test"]["log_loss"],
                "best_step": res["best_step"]}
-        score = row.get(args.metric, res.get(args.metric))
+        if args.metric not in row:
+            raise SystemExit(f"--metric {args.metric!r} is not reported; "
+                             f"choose from {sorted(set(row) - {'trial'})}")
+        score = row[args.metric]
         line = json.dumps(row)
         print(line, flush=True)
         if sink:
