@@ -104,8 +104,10 @@ class MicroBatcher:
     store calls. ``submit`` returns a Future resolved with the request's
     slice of the fused result (or an exception)."""
 
-    def __init__(self, store, max_batch: int = 256, max_wait_ms: float = 2.0):
+    def __init__(self, store, max_batch: int = 256, max_wait_ms: float = 2.0,
+                 journal=None):
         self.store = store
+        self.journal = journal  # write-ahead log (serving/journal.py)
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue()
@@ -228,6 +230,10 @@ class MicroBatcher:
         cats = np.concatenate(
             [np.asarray(r["cat_ids"], np.int32) for r, _ in reqs])
         n = uids.shape[0]
+        if self.journal is not None:
+            # Write-ahead: persist the accepted events BEFORE applying, so
+            # a crash between here and the arena write replays them.
+            self.journal.append(uids, items, cats)
         pad = _bucket(n, self.max_batch) - n
         if pad:
             # Replicate the first row WHOLE (uid + event). Exact: the
@@ -351,9 +357,10 @@ class ServingServer:
 
     def __init__(self, store, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 256, max_wait_ms: float = 2.0,
-                 request_timeout_s: float = 60.0):
+                 request_timeout_s: float = 60.0, journal=None):
         self.store = store
-        self.batcher = MicroBatcher(store, max_batch, max_wait_ms)
+        self.batcher = MicroBatcher(store, max_batch, max_wait_ms,
+                                    journal=journal)
         self.request_timeout_s = request_timeout_s
         self._tcp = _TCPServer((host, port), _Handler)
         self._tcp.owner = self  # type: ignore[attr-defined]
@@ -391,6 +398,11 @@ def main(argv=None) -> None:
     ap.add_argument("--max_batch", type=int, default=256)
     ap.add_argument("--max_wait_ms", type=float, default=2.0)
     ap.add_argument("--save_on_exit", action="store_true")
+    ap.add_argument("--journal", default="",
+                    help="write-ahead update log (serving/journal.py): "
+                         "replayed over the bundle on startup, so a "
+                         "crashed daemon loses no accepted updates; "
+                         "truncated after --save_on_exit snapshots")
     ap.add_argument("--force_cpu", action="store_true",
                     help="run on the host CPU (tests / no-TPU machines)")
     args = ap.parse_args(argv)
@@ -403,16 +415,29 @@ def main(argv=None) -> None:
 
     store = UserMemoryStore.load_bundle(args.bundle,
                                         device_resident=args.device_resident)
+    journal = None
+    if args.journal:
+        from .journal import UpdateJournal
+
+        replayed = 0
+        for uids, items, cats in UpdateJournal.replay(args.journal):
+            store.update(uids, items, cats)
+            replayed += len(uids)
+        journal = UpdateJournal(args.journal)
+        if replayed:
+            print(f"replayed {replayed} journaled events", flush=True)
     done = threading.Event()
     for sig in (signal.SIGINT, signal.SIGTERM):
         signal.signal(sig, lambda *_: done.set())
     with ServingServer(store, host=args.host, port=args.port,
                        max_batch=args.max_batch,
-                       max_wait_ms=args.max_wait_ms) as srv:
+                       max_wait_ms=args.max_wait_ms, journal=journal) as srv:
         print(f"serving bundle {args.bundle} on {srv.host}:{srv.port} "
               f"(n_users={store.n_users})", flush=True)
         done.wait()
         if args.save_on_exit:
             srv.batcher.close()  # flush queued updates before persisting
             store.save(args.bundle)
+            if journal is not None:
+                journal.truncate()  # the snapshot covers these events now
             print(f"saved memories back to {args.bundle}", flush=True)

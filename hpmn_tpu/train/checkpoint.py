@@ -75,10 +75,14 @@ def save_user_memory(directory: str, uids: np.ndarray, memory: np.ndarray,
     Array-parallel layout: uids [U], memory [U, L, dm], counters [U]."""
     os.makedirs(directory, exist_ok=True)
     order = np.argsort(uids)
-    np.savez(os.path.join(directory, "user_memory.npz"),
+    path = os.path.join(directory, "user_memory.npz")
+    # Atomic: a crash mid-save must never leave a torn snapshot (the
+    # serving journal protocol truncates only AFTER save returns).
+    np.savez(path + ".tmp.npz",
              uids=np.asarray(uids, np.int64)[order],
              memory=np.asarray(memory, np.float32)[order],
              counters=np.asarray(counters, np.int64)[order])
+    os.replace(path + ".tmp.npz", path)
 
 
 def load_user_memory(directory: str):
