@@ -114,14 +114,27 @@ class MicroBatcher:
         self._stop = threading.Event()
         self.stats = {"requests": 0, "batches": 0, "fused_rows": 0,
                       "padded_rows": 0}
+        import collections
+
+        self._lat = collections.deque(maxlen=4096)  # recent latencies (s)
         self._thread = threading.Thread(target=self._run, daemon=True,
                                         name="serving-dispatcher")
         self._thread.start()
 
     def submit(self, method: str, payload: dict) -> Future:
         fut: Future = Future()
+        fut._t0 = _now()  # queue-to-resolution latency, read in _run_group
         self._q.put((method, payload, fut))
         return fut
+
+    def latency_ms(self) -> dict:
+        """Recent request-latency percentiles (queue wait + fused compute)."""
+        if not self._lat:
+            return {"n": 0}
+        lat = np.sort(np.asarray(self._lat)) * 1e3
+        pick = lambda q: float(lat[min(len(lat) - 1, int(q * len(lat)))])
+        return {"n": len(lat), "p50": round(pick(0.50), 2),
+                "p95": round(pick(0.95), 2), "p99": round(pick(0.99), 2)}
 
     def close(self) -> None:
         self._stop.set()
@@ -202,8 +215,10 @@ class MicroBatcher:
                 if not fut.done():
                     fut.set_exception(e)
             return
+        t1 = _now()
         for (_, fut), res in zip(reqs, results):
             fut.set_result(res)
+            self._lat.append(t1 - getattr(fut, "_t0", t1))
 
     @staticmethod
     def _conflict_free(reqs):
@@ -321,6 +336,7 @@ class _Handler(socketserver.BaseRequestHandler):
             try:
                 if method == "stats":
                     resp = {"ok": True, "stats": dict(srv.batcher.stats),
+                            "latency_ms": srv.batcher.latency_ms(),
                             "n_users": srv.store.n_users}
                 elif method in ("predict", "rank", "update"):
                     fut = srv.batcher.submit(method, msg)

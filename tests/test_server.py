@@ -388,3 +388,16 @@ def test_daemon_crash_replays_journal(tmp_path):
         back.update(u, i, c)
     _, cnt = back._gather(uids)
     np.testing.assert_array_equal(np.asarray(cnt), [11, 11, 10, 10, 10])
+
+
+def test_stats_latency_percentiles():
+    _, _, store = _store()
+    _seed_users(store, np.arange(1, 4, dtype=np.int32))
+    with ServingServer(store) as srv:
+        with ServingClient(srv.host, srv.port) as cl:
+            for _ in range(5):
+                cl.predict([1], [2], [2 % N_CATS])
+            st = cl.stats()
+            lat = st["latency_ms"]
+            assert lat["n"] >= 5
+            assert 0 <= lat["p50"] <= lat["p95"] <= lat["p99"]
