@@ -32,14 +32,18 @@ def _build() -> Optional[str]:
     out = os.path.join(os.path.dirname(_SRC), f"batcher_{tag}.so")
     if os.path.exists(out):
         return out
+    # Per-PID scratch name: concurrent builders (pytest-xdist workers on a
+    # fresh tree) must not share a tmp path or one replace() consumes the
+    # other's output.
+    tmp = f"{out}.tmp{os.getpid()}"
     try:
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-pthread",
-             _SRC, "-o", out + ".tmp"],
+             _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
     except (OSError, subprocess.SubprocessError):
-        return None
-    os.replace(out + ".tmp", out)
+        return out if os.path.exists(out) else None
     return out
 
 
