@@ -1,12 +1,13 @@
 from .lifelong import UserMemoryStore, incremental_update
 
 __all__ = ["UserMemoryStore", "incremental_update", "ServingServer",
-           "ServingClient", "ShardedServingClient"]
+           "ServingClient", "ShardedServingClient", "AotStore",
+           "load_aot_store", "export_serving"]
 
 
 def __getattr__(name):
-    # Lazy: the daemon/client pull in sockets/threads that most training
-    # imports never need.
+    # Lazy: the daemon/client pull in sockets/threads (and aot pulls
+    # jax.export) that most training imports never need.
     if name == "ServingServer":
         from .server import ServingServer
         return ServingServer
@@ -16,4 +17,7 @@ def __getattr__(name):
     if name == "ShardedServingClient":
         from .sharded import ShardedServingClient
         return ShardedServingClient
+    if name in ("AotStore", "load_aot_store", "export_serving"):
+        from . import aot
+        return getattr(aot, name)
     raise AttributeError(name)

@@ -91,6 +91,15 @@ def _rank_scores(params: Dict, memory: jax.Array, cand_items: jax.Array,
     return jax.nn.sigmoid(logits).reshape(B, C)
 
 
+def _bundle_array(z, key: str) -> jnp.ndarray:
+    """One param leaf from a bundle's params.npz by keystr — dequantizing
+    int8 tables (save_bundle(quantize_embeddings=True)) per-row symmetric."""
+    if key in z.files:
+        return jnp.asarray(z[key])
+    q = z["__q8__" + key].astype(np.float32)
+    return jnp.asarray(q * z["__q8scale__" + key])
+
+
 # Device-resident arena primitives: the donated in-place row write keeps
 # the [cap, L, dm] arena in HBM across calls, and the masked gather serves
 # unknown uids (row -1) as cold-start zeros — mirroring the host arena.
@@ -438,7 +447,9 @@ class UserMemoryStore:
 
     # ---------------------------------------------- deployment bundle --
     def save_bundle(self, directory: str,
-                    quantize_embeddings: bool = False) -> None:
+                    quantize_embeddings: bool = False,
+                    export_compiled: bool = False,
+                    export_platforms=("cpu", "tpu")) -> None:
         """Self-contained serving artifact: model params + the config
         fields serving needs + the user-memory snapshot, in one directory.
         A serving host needs nothing else (training checkpoints stay with
@@ -448,14 +459,21 @@ class UserMemoryStore:
         dominant bytes) as per-row symmetric int8 (scale = max|row|/127) —
         ~4x smaller artifact; ``load_bundle`` dequantizes to f32 on load so
         serving numerics change only by the <=1/254-relative rounding of
-        table entries (score impact measured in tests/test_serving.py)."""
+        table entries (score impact measured in tests/test_serving.py).
+
+        export_compiled: additionally serialize the update/predict/rank
+        request functions as multi-platform StableHLO (``serving/aot.py``),
+        so ``load_aot_store`` can serve the bundle with zero model code and
+        zero startup tracing."""
         import json
 
         self.save(directory)
         flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
         arrays = {}
+        leaf_order = []
         for path, leaf in flat:
             key = jax.tree_util.keystr(path)
+            leaf_order.append(key)
             a = np.asarray(leaf)
             if (quantize_embeddings and key.startswith("['embedding'][")
                     and a.ndim == 2):
@@ -467,9 +485,22 @@ class UserMemoryStore:
             else:
                 arrays[key] = a
         np.savez(os.path.join(directory, "params.npz"), **arrays)
+        meta = {"config": self.cfg.to_dict(), "max_users": self.max_users}
+        if export_compiled:
+            from .aot import export_serving
+
+            blobs = export_serving(self.cfg, self.params,
+                                   platforms=export_platforms)
+            for kind, data in blobs.items():
+                path = os.path.join(directory, f"exported_{kind}.bin")
+                with open(path, "wb") as f:
+                    f.write(data)
+            meta["exported"] = {"kinds": sorted(blobs),
+                                "leaf_order": leaf_order,
+                                "platforms": list(export_platforms),
+                                "jax_version": jax.__version__}
         with open(os.path.join(directory, "serving_config.json"), "w") as f:
-            json.dump({"config": self.cfg.to_dict(),
-                       "max_users": self.max_users}, f)
+            json.dump(meta, f)
 
     @classmethod
     def load_bundle(cls, directory: str,
@@ -491,13 +522,7 @@ class UserMemoryStore:
         # saved arrays are placed by their keystr path.
         from ..models import init_model
 
-        def leaf(key):
-            if key in z.files:
-                return jnp.asarray(z[key])
-            # int8-quantized table (save_bundle(quantize_embeddings=True)):
-            # dequantize per-row symmetric on load.
-            q = z["__q8__" + key].astype(np.float32)
-            return jnp.asarray(q * z["__q8scale__" + key])
+        leaf = functools.partial(_bundle_array, z)
 
         def rows(key):
             full = key if key in z.files else "__q8__" + key

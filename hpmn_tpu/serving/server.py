@@ -419,6 +419,10 @@ def main(argv=None) -> None:
                          "replayed over the bundle on startup, so a "
                          "crashed daemon loses no accepted updates; "
                          "truncated after --save_on_exit snapshots")
+    ap.add_argument("--aot", action="store_true",
+                    help="serve the bundle's exported StableHLO graphs "
+                         "(save_bundle(export_compiled=True)): no model "
+                         "code, no startup tracing; host arena only")
     ap.add_argument("--force_cpu", action="store_true",
                     help="run on the host CPU (tests / no-TPU machines)")
     args = ap.parse_args(argv)
@@ -429,8 +433,15 @@ def main(argv=None) -> None:
 
     from .lifelong import UserMemoryStore
 
-    store = UserMemoryStore.load_bundle(args.bundle,
-                                        device_resident=args.device_resident)
+    if args.aot:
+        if args.device_resident:
+            ap.error("--aot serves the host arena; drop --device_resident")
+        from .aot import load_aot_store
+
+        store = load_aot_store(args.bundle)
+    else:
+        store = UserMemoryStore.load_bundle(
+            args.bundle, device_resident=args.device_resident)
     journal = None
     if args.journal:
         from .journal import UpdateJournal

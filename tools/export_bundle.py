@@ -32,6 +32,13 @@ def main(argv=None):
     ap.add_argument("--step", type=int, default=None)
     ap.add_argument("--histories", default="")
     ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--export_compiled", action="store_true",
+                    help="also serialize the update/predict/rank request "
+                         "functions as multi-platform StableHLO so the "
+                         "daemon can serve with --aot (no model code)")
+    ap.add_argument("--platforms", default="cpu,tpu",
+                    help="comma-separated export platforms "
+                         "(with --export_compiled)")
     ap.add_argument("--force_cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -75,9 +82,12 @@ def main(argv=None):
                                masks=z["masks"] if "masks" in z.files
                                else None)
     os.makedirs(args.out, exist_ok=True)
-    store.save_bundle(args.out, quantize_embeddings=args.quantize)
+    store.save_bundle(args.out, quantize_embeddings=args.quantize,
+                      export_compiled=args.export_compiled,
+                      export_platforms=tuple(args.platforms.split(",")))
     print(f"exported step {step} -> {args.out} "
-          f"(n_users={store.n_users}, quantized={args.quantize})")
+          f"(n_users={store.n_users}, quantized={args.quantize}, "
+          f"aot={args.export_compiled})")
 
 
 if __name__ == "__main__":
