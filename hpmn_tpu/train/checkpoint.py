@@ -21,16 +21,24 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, keep_best_k: int = 3):
+    def __init__(self, directory: str, keep_best_k: int = 3,
+                 async_checkpointing: bool = False):
+        """``async_checkpointing=True`` (config ``train.async_checkpoint``)
+        overlaps the disk write with subsequent train steps: orbax copies
+        device buffers to host synchronously inside ``save`` (so later
+        parameter updates cannot corrupt the snapshot) and commits the
+        write on a background thread. ``restore``/``close`` barrier on any
+        in-flight save."""
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        self._async = async_checkpointing
         self._mngr = ocp.CheckpointManager(
             directory,
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=keep_best_k,
                 best_fn=lambda m: m.get("val_auc", 0.0),
                 best_mode="max",
-                enable_async_checkpointing=False,
+                enable_async_checkpointing=async_checkpointing,
             ),
         )
 
@@ -44,11 +52,13 @@ class CheckpointManager:
         }
         self._mngr.save(step, args=ocp.args.StandardSave(state),
                         metrics={k: float(v) for k, v in metrics.items()})
-        self._mngr.wait_until_finished()
+        if not self._async:
+            self._mngr.wait_until_finished()
 
     def restore(self, step: Optional[int] = None, template: Any = None):
         """Restore `step` (default: latest). Returns the state dict or None
         if no checkpoint exists."""
+        self._mngr.wait_until_finished()  # barrier on any in-flight save
         if step is None:
             step = self._mngr.latest_step()
         if step is None:
@@ -59,9 +69,11 @@ class CheckpointManager:
         return self._mngr.restore(step)
 
     def best_step(self) -> Optional[int]:
+        self._mngr.wait_until_finished()
         return self._mngr.best_step()
 
     def latest_step(self) -> Optional[int]:
+        self._mngr.wait_until_finished()
         return self._mngr.latest_step()
 
     def close(self):

@@ -287,7 +287,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     mngr = None
     start_step = 0
     if cfg.train.ckpt_dir:
-        mngr = CheckpointManager(cfg.train.ckpt_dir, cfg.train.keep_best_k)
+        mngr = CheckpointManager(cfg.train.ckpt_dir, cfg.train.keep_best_k,
+                                 async_checkpointing=cfg.train.async_checkpoint)
         restored = mngr.restore(template={
             "params": params, "opt_state": opt_state,
             "loader": train_loader.state_dict(), "step": 0})

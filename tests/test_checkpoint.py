@@ -63,6 +63,37 @@ def test_save_restore_resumes_identically(setup, tmp_path):
     mngr2.close()
 
 
+def test_async_checkpoint_snapshot_isolation(setup, tmp_path):
+    """async_checkpointing=True: save() returns before the disk write
+    commits, yet the snapshot reflects the state AT save time — mutating
+    params right after save must not corrupt it (orbax copies device
+    buffers to host synchronously), and restore barriers on the write."""
+    cfg, arrays, params, tx = setup
+    step_fn = make_train_step(cfg, tx)
+    loader = DataLoader(arrays, batch_size=16, seed=5)
+    p3, o3, _ = _run_steps(step_fn, params, tx.init(params), loader, 3)
+
+    mngr = CheckpointManager(str(tmp_path / "ckpt"), keep_best_k=2,
+                             async_checkpointing=True)
+    mngr.save(3, p3, o3, loader.state_dict(), {"val_auc": 0.5})
+    # keep training immediately — the in-flight write must not observe it
+    p6, o6, _ = _run_steps(step_fn, p3, o3, loader, 3)
+
+    template = {"params": params, "opt_state": tx.init(params),
+                "loader": loader.state_dict(), "step": 0}
+    restored = mngr.restore(template=template)
+    assert restored["step"] == 3
+    chex.assert_trees_all_close(jax.device_get(restored["params"]),
+                                jax.device_get(p3), atol=0)
+    mngr.save(6, p6, o6, loader.state_dict(), {"val_auc": 0.6})
+    mngr.close()  # barriers on the in-flight write
+
+    mngr2 = CheckpointManager(str(tmp_path / "ckpt"), keep_best_k=2)
+    assert mngr2.latest_step() == 6
+    assert mngr2.best_step() == 6
+    mngr2.close()
+
+
 @pytest.mark.heavy
 def test_train_resume_continues_from_restored_step(tmp_path, monkeypatch):
     """A preempted run must resume AT the restored step, not restart the
