@@ -4,12 +4,18 @@ Reference equivalent: the ``DataLoader``/``get_batch`` batching loader feeding
 numpy arrays into feed_dict (SURVEY.md §2.1 "Data loader"). TPU-native
 differences:
 
-- per-host sharding for multi-host training: each process iterates only its
-  ``process_index``-th shard of the example axis (SURVEY.md §5.8);
+- **world-size-invariant global order** for multi-host training: every host
+  derives the SAME per-epoch example order from (seed, epoch) and takes its
+  contiguous slice of each global batch, so the assembled global batch is
+  byte-identical for any host count — multi-host training consumes exactly
+  the single-host example stream, and a checkpointed run resumes EXACTLY on
+  a different number of hosts as long as the global batch size
+  (``batch_size x process_count``) is unchanged (elastic resume);
 - batches are always full (the tail is dropped in training, padded+masked in
   eval) so jit sees static shapes;
-- the iterator position is explicit state (``epoch``, ``step``) so it can be
-  checkpointed and resumed exactly (SURVEY.md §5.4).
+- the iterator position is explicit state (``epoch``, ``step``,
+  ``global_batch``) so it can be checkpointed and resumed exactly
+  (SURVEY.md §5.4).
 """
 
 from __future__ import annotations
@@ -22,7 +28,14 @@ from .schema import Batch, batch_from_numpy
 
 
 class DataLoader:
-    """Shuffling, shardable, resumable batch iterator."""
+    """Shuffling, shardable, resumable batch iterator.
+
+    ``batch_size`` is the PER-HOST batch size; the global batch is
+    ``batch_size * process_count`` rows, host ``p`` contributing rows
+    ``[p*batch_size, (p+1)*batch_size)`` of it (the process-contiguous
+    layout ``make_array_from_process_local_data`` / eval's ``_local_rows``
+    assume).
+    """
 
     def __init__(self, arrays: Dict[str, np.ndarray], batch_size: int,
                  shuffle: bool = True, seed: int = 0, drop_remainder: bool = True,
@@ -32,14 +45,16 @@ class DataLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.drop_remainder = drop_remainder
-        n = arrays["label"].shape[0]
-        # Per-host static shard of the example axis.
-        self._local_idx = np.arange(process_index, n, process_count)
-        if shuffle and drop_remainder and len(self._local_idx) < batch_size:
+        self.n = arrays["label"].shape[0]
+        self.global_batch = batch_size * process_count
+        self._offset = process_index * batch_size
+        # Per-host static shard of the example axis (eval: one_epoch).
+        self._local_idx = np.arange(process_index, self.n, process_count)
+        if shuffle and drop_remainder and self.n < self.global_batch:
             # Would otherwise spin forever yielding nothing (0 full batches).
             raise ValueError(
-                f"local shard has {len(self._local_idx)} examples < "
-                f"batch_size={batch_size} (n={n}, "
+                f"dataset has {self.n} examples < global batch "
+                f"{self.global_batch} (batch_size={batch_size} x "
                 f"process_count={process_count}); shrink the batch or "
                 f"grow the dataset")
         self.epoch = 0
@@ -51,21 +66,23 @@ class DataLoader:
 
     def steps_per_epoch(self) -> int:
         if self.drop_remainder:
-            return self.n_local // self.batch_size
-        return -(-self.n_local // self.batch_size)
+            return self.n // self.global_batch
+        return -(-self.n // self.global_batch)
 
     def _epoch_order(self) -> np.ndarray:
+        """GLOBAL example order for this epoch — a pure function of
+        (seed, epoch), identical on every host."""
         if not self.shuffle:
-            return self._local_idx
+            return np.arange(self.n)
         rng = np.random.default_rng(self.seed + self.epoch)
-        return rng.permutation(self._local_idx)
+        return rng.permutation(self.n)
 
     def __iter__(self) -> Iterator[Batch]:
         while True:
             order = self._epoch_order()
             spe = self.steps_per_epoch()
             while self.step < spe:
-                lo = self.step * self.batch_size
+                lo = self.step * self.global_batch + self._offset
                 idx = order[lo:lo + self.batch_size]
                 self.step += 1
                 if len(idx) < self.batch_size and self.drop_remainder:
@@ -75,7 +92,8 @@ class DataLoader:
             self.step = 0
 
     def one_epoch(self) -> Iterator[Batch]:
-        """Iterate the current epoch once, without shuffling state changes.
+        """Iterate this host's shard of the current epoch once, without
+        shuffling state changes.
 
         Used for eval: yields possibly a final short batch padded to full
         ``batch_size`` with ``pad_count`` attached via a (batch, n_valid) tuple.
@@ -93,9 +111,17 @@ class DataLoader:
 
     # --- checkpointable iterator position (SURVEY.md §5.4) ---
     def state_dict(self) -> Dict[str, int]:
-        return {"epoch": self.epoch, "step": self.step, "seed": self.seed}
+        return {"epoch": self.epoch, "step": self.step, "seed": self.seed,
+                "global_batch": self.global_batch}
 
     def load_state_dict(self, state: Dict[str, int]) -> None:
+        gb = int(state.get("global_batch", self.global_batch))
+        if gb != self.global_batch:
+            raise ValueError(
+                f"cannot resume: checkpoint global batch {gb} != this "
+                f"run's {self.global_batch} (batch_size x process_count "
+                f"must be preserved across restarts; per-host batch may "
+                f"change with host count, their product may not)")
         self.epoch = int(state["epoch"])
         self.step = int(state["step"])
         self.seed = int(state["seed"])

@@ -54,6 +54,48 @@ def test_loader_resume_and_shapes():
     np.testing.assert_array_equal(next(it2).uid, seen[3])
 
 
+def test_loader_world_size_invariant_and_elastic_resume():
+    """The global batch stream is identical for any host count (hosts take
+    contiguous slices of one global order), so a checkpoint resumes EXACTLY
+    on a different number of hosts at constant global batch size."""
+    arrays = make_ctr_dataset(AMAZON, 120, seed=0)
+
+    def global_stream(batch_size, pcount, n_steps, state=None):
+        loaders = [DataLoader(arrays, batch_size=batch_size, shuffle=True,
+                              seed=3, process_index=p, process_count=pcount)
+                   for p in range(pcount)]
+        for l in loaders:
+            if state is not None:
+                l.load_state_dict(state)
+        its = [iter(l) for l in loaders]
+        out = []
+        for _ in range(n_steps):
+            parts = [next(it) for it in its]
+            out.append(np.concatenate([np.asarray(b.item_seq)
+                                       for b in parts]))
+        return out, loaders[0].state_dict()
+
+    ref, _ = global_stream(12, 1, 6)
+    for pcount in (2, 3):
+        got, _ = global_stream(12 // pcount, pcount, 6)
+        for a, b in zip(ref, got):
+            np.testing.assert_array_equal(a, b)
+
+    # elastic resume: 2 steps on 1 host, continue on 2 hosts
+    _, state = global_stream(12, 1, 2)
+    cont, _ = global_stream(6, 2, 4, state=state)
+    for a, b in zip(ref[2:], cont):
+        np.testing.assert_array_equal(a, b)
+
+    # changing the GLOBAL batch across a restart is refused
+    bad = DataLoader(arrays, batch_size=5, shuffle=True, seed=3)
+    try:
+        bad.load_state_dict(state)
+        assert False, "expected ValueError on global-batch mismatch"
+    except ValueError:
+        pass
+
+
 def test_loader_process_sharding():
     arrays = make_ctr_dataset(AMAZON, 100, seed=0)
     uids = set()

@@ -94,7 +94,13 @@ def test_hpmn_beats_short_horizon_on_planted_task(monkeypatch):
     periodic hierarchy, which compresses the whole lifelong sequence into
     its slots, learns it. (Average pooling also solves this membership task
     by construction — the discriminating comparison is against the
-    sequential short-horizon model, matching [P §5.2]'s XLong ordering.)"""
+    sequential short-horizon model, matching [P §5.2]'s XLong ordering.)
+
+    Runs single-device (mesh.enable=False): this test is about MODEL
+    quality, not sharding (covered elsewhere), and 500 steps x 8 virtual
+    devices of per-step collectives can trip XLA:CPU's 40 s collective-
+    rendezvous abort under CPU oversubscription (e.g. xdist workers on a
+    loaded 4-core host) — a starvation false positive, not a deadlock."""
     import hpmn_tpu.data.synthetic as syn
 
     tiny = syn.DatasetSpec("taobao", seq_len=60, n_items=2000, n_cats=40,
@@ -109,6 +115,7 @@ def test_hpmn_beats_short_horizon_on_planted_task(monkeypatch):
             "train.eval_every": 250,
             "train.lr": 3e-3,
             "model.name": name,
+            "mesh.enable": False,
         })
         results[name] = train(cfg, log=lambda s: None)["test"]["auc"]
     assert results["hpmn"] > 0.6, results

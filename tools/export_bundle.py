@@ -72,7 +72,8 @@ def main(argv=None):
     tx = make_optimizer(cfg)
     state = mngr.restore(step, template={
         "params": skeleton, "opt_state": tx.init(skeleton),
-        "loader": {"epoch": 0, "step": 0, "seed": 0}, "step": 0})
+        "loader": {"epoch": 0, "step": 0, "seed": 0, "global_batch": 0},
+        "step": 0})
     mngr.close()
 
     store = UserMemoryStore(cfg, state["params"])
