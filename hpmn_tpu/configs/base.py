@@ -113,6 +113,7 @@ def base_config() -> ml_collections.ConfigDict:
     c.mesh.sp_inner = "jnp"  # chunk-scan impl: jnp | pallas (fused kernel)
 
     c.eval_batch_size = 256
+    c.eval_streaming_bins = 0  # >0: bounded-memory histogram AUC (no GAUC)
     return c
 
 

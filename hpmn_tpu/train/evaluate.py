@@ -15,14 +15,23 @@ from ..data.loader import DataLoader
 from . import metrics as M
 
 
-def evaluate(eval_step: Callable, params, loader: DataLoader) -> Dict[str, float]:
+def evaluate(eval_step: Callable, params, loader: DataLoader,
+             streaming_bins: int = 0) -> Dict[str, float]:
     """eval_step(params, batch) -> logits [B]. Pads the final short batch and
     trims by n_valid, so every example is scored exactly once.
 
     Multi-host: each process scores only its DataLoader shard; the
     (logits, labels) sets are merged across hosts before computing the
     exact AUC, so every host reports the identical global metric
-    (SURVEY.md §5.5)."""
+    (SURVEY.md §5.5).
+
+    ``streaming_bins > 0`` (config ``eval_streaming_bins``) switches to the
+    bounded-memory histogram estimator (:class:`metrics.StreamingAUC`) for
+    eval sets too large to hold every score: O(bins) memory per host, the
+    histograms merged by addition across hosts. GAUC needs per-user score
+    sets and is reported as nan in this mode."""
+    if streaming_bins:
+        return _evaluate_streaming(eval_step, params, loader, streaming_bins)
     all_logits, all_labels, all_uids = [], [], []
     for batch, n_valid in loader.one_epoch():
         logits = _local_rows(eval_step(params, batch), batch.batch_size)
@@ -40,6 +49,29 @@ def evaluate(eval_step: Callable, params, loader: DataLoader) -> Dict[str, float
         "log_loss": M.log_loss(logits, labels),
         "n": float(len(labels)),
     }
+
+
+def _evaluate_streaming(eval_step: Callable, params, loader: DataLoader,
+                        n_bins: int) -> Dict[str, float]:
+    acc = M.StreamingAUC(n_bins)
+    for batch, n_valid in loader.one_epoch():
+        logits = _local_rows(eval_step(params, batch), batch.batch_size)
+        acc.update(logits[:n_valid], np.asarray(batch.label)[:n_valid])
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        pos, neg, ll, n = acc.state
+        packed = np.concatenate([pos.astype(np.float64),
+                                 neg.astype(np.float64), [ll, float(n)]])
+        gathered = multihost_utils.process_allgather(packed)  # [P, 2b+2]
+        acc = M.StreamingAUC(n_bins)
+        for row in np.asarray(gathered):
+            acc.merge_counts(row[:n_bins].astype(np.int64),
+                             row[n_bins:2 * n_bins].astype(np.int64),
+                             row[-2], int(row[-1]))
+    out = acc.result()
+    out["gauc"] = float("nan")  # needs per-user score sets; exact mode only
+    return out
 
 
 def _local_rows(arr, n_local: int) -> np.ndarray:

@@ -38,6 +38,64 @@ def auc(scores: np.ndarray, labels: np.ndarray) -> float:
     return float(u / (n_pos * n_neg))
 
 
+class StreamingAUC:
+    """Bounded-memory AUC over arbitrarily large eval streams.
+
+    The exact estimator above keeps every score in memory and sorts —
+    fine to ~1e8 rows, not for production-scale eval sweeps. This one
+    histograms sigmoid(logit) per class into ``n_bins`` fixed buckets
+    (O(n_bins) memory, mergeable by addition across shards/hosts) and
+    computes the Mann-Whitney statistic on the histogram with within-bin
+    ties counted half — the same tie convention as :func:`auc`, so the two
+    agree exactly when no two scores share a bin and to O(collisions/N²)
+    otherwise (<~1/n_bins worst case).
+    """
+
+    def __init__(self, n_bins: int = 1 << 14):
+        self.pos = np.zeros(n_bins, np.int64)
+        self.neg = np.zeros(n_bins, np.int64)
+        # streaming log-loss travels with the same accumulator
+        self._ll_sum = 0.0
+        self._n = 0
+
+    def update(self, logits: np.ndarray, labels: np.ndarray) -> None:
+        x = np.asarray(logits, np.float64).ravel()
+        y = np.asarray(labels).ravel() > 0.5
+        n_bins = len(self.pos)
+        s = 1.0 / (1.0 + np.exp(-x))
+        b = np.minimum((s * n_bins).astype(np.int64), n_bins - 1)
+        self.pos += np.bincount(b[y], minlength=n_bins)
+        self.neg += np.bincount(b[~y], minlength=n_bins)
+        per = np.maximum(x, 0) - x * y + np.log1p(np.exp(-np.abs(x)))
+        self._ll_sum += float(per.sum())
+        self._n += x.size
+
+    def merge_counts(self, pos: np.ndarray, neg: np.ndarray,
+                     ll_sum: float = 0.0, n: int = 0) -> None:
+        """Fold in another accumulator's state (cross-host/shard merge)."""
+        self.pos += np.asarray(pos, np.int64)
+        self.neg += np.asarray(neg, np.int64)
+        self._ll_sum += float(ll_sum)
+        self._n += int(n)
+
+    @property
+    def state(self):
+        return self.pos, self.neg, self._ll_sum, self._n
+
+    def result(self) -> dict:
+        n_pos, n_neg = int(self.pos.sum()), int(self.neg.sum())
+        if n_pos == 0 or n_neg == 0:
+            a = float("nan")
+        else:
+            neg_below = np.cumsum(self.neg) - self.neg
+            wins = float((self.pos * neg_below).sum())
+            ties = 0.5 * float((self.pos * self.neg).sum())
+            a = (wins + ties) / (n_pos * n_neg)
+        return {"auc": a,
+                "log_loss": self._ll_sum / max(self._n, 1),
+                "n": float(self._n)}
+
+
 def log_loss(scores_logits: np.ndarray, labels: np.ndarray) -> float:
     """Mean binary cross-entropy from logits."""
     x = np.asarray(scores_logits, np.float64).ravel()

@@ -340,7 +340,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 writer.add_scalar("train/examples_per_sec", eps, step)
             t_last, n_since = time.time(), 0
         if step % cfg.train.eval_every < k or step >= cfg.train.max_steps:
-            val = run_evaluate(eval_step, params, val_loader)
+            val = run_evaluate(eval_step, params, val_loader,
+                               cfg.eval_streaming_bins)
             log(f"step {step} VAL auc {val['auc']:.4f} "
                 f"gauc {val['gauc']:.4f} log_loss {val['log_loss']:.4f}")
             if writer is not None:
@@ -368,7 +369,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             "params": params, "opt_state": opt_state,
             "loader": train_loader.state_dict(), "step": 0})
         params = restored["params"]
-    test = run_evaluate(eval_step, params, test_loader)
+    test = run_evaluate(eval_step, params, test_loader,
+                        cfg.eval_streaming_bins)
     log(f"TEST auc {test['auc']:.4f} gauc {test['gauc']:.4f} "
         f"log_loss {test['log_loss']:.4f}")
     if writer is not None:

@@ -62,3 +62,65 @@ def test_gauc_weighted_per_user():
                                auc(scores, labels), rtol=1e-12)
     # all single-class users -> nan
     assert np.isnan(gauc(scores, np.ones(n), uids))
+
+
+def test_streaming_auc_matches_exact():
+    """Histogram AUC == exact AUC to O(1/n_bins); chunked updates and a
+    two-accumulator merge (the cross-host path) give the identical result;
+    streaming log-loss is exact."""
+    from hpmn_tpu.train.metrics import StreamingAUC, auc, log_loss
+
+    rng = np.random.default_rng(3)
+    n = 20000
+    labels = rng.integers(0, 2, n).astype(np.float64)
+    logits = rng.normal(size=n) + 0.8 * labels
+
+    one = StreamingAUC(1 << 14)
+    one.update(logits, labels)
+    got = one.result()
+    np.testing.assert_allclose(got["auc"], auc(logits, labels), atol=2e-3)
+    np.testing.assert_allclose(got["log_loss"], log_loss(logits, labels),
+                               rtol=1e-12)
+    assert got["n"] == n
+
+    # chunked + merged == single pass (bit-identical histograms)
+    a, b = StreamingAUC(1 << 14), StreamingAUC(1 << 14)
+    a.update(logits[: n // 3], labels[: n // 3])
+    b.update(logits[n // 3:], labels[n // 3:])
+    a.merge_counts(*b.state)
+    np.testing.assert_array_equal(a.pos, one.pos)
+    np.testing.assert_array_equal(a.neg, one.neg)
+    assert a.result() == got
+
+    # single-class stream -> nan auc
+    empty = StreamingAUC(64)
+    empty.update(logits, np.ones(n))
+    assert np.isnan(empty.result()["auc"])
+
+
+def test_streaming_eval_through_driver():
+    """eval_streaming_bins routes evaluate() through the bounded-memory
+    estimator; AUC tracks the exact path, GAUC is nan by contract."""
+    import jax
+
+    from hpmn_tpu.configs import get_config
+    from hpmn_tpu.data import DataLoader, make_ctr_dataset
+    from hpmn_tpu.data.synthetic import SPECS
+    from hpmn_tpu.models import init_model
+    from hpmn_tpu.train.evaluate import evaluate
+    from hpmn_tpu.train.train import make_eval_step
+
+    cfg = get_config("amazon_hpmn")
+    cfg.model.hpmn_layers = 2
+    spec = SPECS["amazon"]
+    arrays = make_ctr_dataset(spec, 300, seed=0)
+    params = init_model(jax.random.key(0), cfg, spec.n_items, spec.n_cats)
+    step = make_eval_step(cfg)
+    loader = DataLoader(arrays, batch_size=64, shuffle=False)
+    exact = evaluate(step, params, loader)
+    stream = evaluate(step, params, loader, streaming_bins=1 << 14)
+    np.testing.assert_allclose(stream["auc"], exact["auc"], atol=5e-3)
+    np.testing.assert_allclose(stream["log_loss"], exact["log_loss"],
+                               rtol=1e-6)
+    assert stream["n"] == exact["n"]
+    assert np.isnan(stream["gauc"])
