@@ -83,10 +83,10 @@ class DataLoader:
             spe = self.steps_per_epoch()
             while self.step < spe:
                 lo = self.step * self.global_batch + self._offset
+                # every slice is full by construction: step < n//global_batch
+                # (drop_remainder) keeps lo+batch_size <= n
                 idx = order[lo:lo + self.batch_size]
                 self.step += 1
-                if len(idx) < self.batch_size and self.drop_remainder:
-                    break
                 yield batch_from_numpy(self.arrays, idx)
             self.epoch += 1
             self.step = 0

@@ -43,6 +43,8 @@ def _build() -> Optional[str]:
             check=True, capture_output=True, timeout=120)
         os.replace(tmp, out)
     except (OSError, subprocess.SubprocessError):
+        if os.path.exists(tmp):  # failed/timed-out compile: no orphans
+            os.unlink(tmp)
         return out if os.path.exists(out) else None
     return out
 

@@ -34,17 +34,10 @@ from jax import export as jax_export
 from ..models.embedding import dense_lookup
 from ..models.readout import attention_readout
 from ..models.tower import apply_tower
-from .lifelong import UserMemoryStore, incremental_update
+from .lifelong import (UserMemoryStore, _predict_scores, flatten_with_keys,
+                       incremental_update)
 
 KINDS = ("update", "predict", "rank")
-
-
-def flatten_with_keys(params: Dict):
-    """(keystr list, leaf list, treedef) — the bundle's canonical order."""
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
-    keys = [jax.tree_util.keystr(path) for path, _ in flat]
-    leaves = [leaf for _, leaf in flat]
-    return keys, leaves, treedef
 
 
 def export_serving(cfg, params: Dict,
@@ -76,12 +69,11 @@ def export_serving(cfg, params: Dict,
         return incremental_update(p["encoder"], mem, cnt, x, period)
 
     def predict_fn(mem, uids, items, cats, *leaves):
+        # delegates to the jit store's own scorer: the exported graph is
+        # DEFINITIONALLY the same math, so they cannot drift at export time
         p = unflat(leaves)
-        q = dense_lookup(p["embedding"], items, cats)
-        read = attention_readout(p["readout"], mem, q)
-        parts = [q, read] + ([user_emb(p, uids)] if use_user else [])
-        logits = apply_tower(p["tower"], jnp.concatenate(parts, axis=-1))
-        return jax.nn.sigmoid(logits)
+        return _predict_scores(p, mem, items, cats,
+                               user_emb(p, uids) if use_user else None)
 
     def rank_fn(mem, uids, items, cats, *leaves):
         p = unflat(leaves)

@@ -91,6 +91,17 @@ def _rank_scores(params: Dict, memory: jax.Array, cand_items: jax.Array,
     return jax.nn.sigmoid(logits).reshape(B, C)
 
 
+def flatten_with_keys(params: Dict):
+    """(keystr list, leaf list, treedef) — the bundle's canonical leaf
+    order. THE single definition: save_bundle's params.npz keys, the AOT
+    manifest's leaf_order, and export_serving's positional arg binding all
+    derive from this one flatten, so they cannot drift apart."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    keys = [jax.tree_util.keystr(path) for path, _ in flat]
+    leaves = [leaf for _, leaf in flat]
+    return keys, leaves, treedef
+
+
 def _bundle_array(z, key: str) -> jnp.ndarray:
     """One param leaf from a bundle's params.npz by keystr — dequantizing
     int8 tables (save_bundle(quantize_embeddings=True)) per-row symmetric."""
@@ -468,12 +479,9 @@ class UserMemoryStore:
         import json
 
         self.save(directory)
-        flat = jax.tree_util.tree_flatten_with_path(self.params)[0]
+        leaf_order, leaves, _ = flatten_with_keys(self.params)
         arrays = {}
-        leaf_order = []
-        for path, leaf in flat:
-            key = jax.tree_util.keystr(path)
-            leaf_order.append(key)
+        for key, leaf in zip(leaf_order, leaves):
             a = np.asarray(leaf)
             if (quantize_embeddings and key.startswith("['embedding'][")
                     and a.ndim == 2):

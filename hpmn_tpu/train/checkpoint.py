@@ -64,8 +64,22 @@ class CheckpointManager:
         if step is None:
             return None
         if template is not None:
-            return self._mngr.restore(step,
-                                      args=ocp.args.StandardRestore(template))
+            try:
+                return self._mngr.restore(
+                    step, args=ocp.args.StandardRestore(template))
+            except ValueError:
+                # Checkpoints written before the loader state gained
+                # 'global_batch' have a 3-key loader dict; orbax rejects the
+                # structure mismatch outright. Retry with the legacy shape —
+                # DataLoader.load_state_dict defaults the missing field.
+                legacy = dict(template)
+                if "global_batch" not in legacy.get("loader", {}):
+                    raise
+                legacy["loader"] = {k: v
+                                    for k, v in template["loader"].items()
+                                    if k != "global_batch"}
+                return self._mngr.restore(
+                    step, args=ocp.args.StandardRestore(legacy))
         return self._mngr.restore(step)
 
     def best_step(self) -> Optional[int]:

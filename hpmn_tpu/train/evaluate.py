@@ -61,14 +61,23 @@ def _evaluate_streaming(eval_step: Callable, params, loader: DataLoader,
         from jax.experimental import multihost_utils
 
         pos, neg, ll, n = acc.state
-        packed = np.concatenate([pos.astype(np.float64),
-                                 neg.astype(np.float64), [ll, float(n)]])
-        gathered = multihost_utils.process_allgather(packed)  # [P, 2b+2]
+        # int64 counts must NOT travel as floats: with x64 disabled the
+        # allgather canonicalizes float64 -> float32, truncating any count
+        # above 2^24 — exactly the production-scale regime this estimator
+        # exists for. Split each count into 31-bit halves (exact to 2^62).
+        ints = np.concatenate([pos, neg, [n]])
+        packed = np.stack([(ints % (1 << 31)).astype(np.int32),
+                           (ints >> 31).astype(np.int32)])
+        gathered = np.asarray(
+            multihost_utils.process_allgather(packed),
+            np.int64)  # [P, 2, 2b+1]
+        ll_all = np.asarray(multihost_utils.process_allgather(
+            np.float32(ll)), np.float64)  # f32 rounding ~1e-7 rel: fine
         acc = M.StreamingAUC(n_bins)
-        for row in np.asarray(gathered):
-            acc.merge_counts(row[:n_bins].astype(np.int64),
-                             row[n_bins:2 * n_bins].astype(np.int64),
-                             row[-2], int(row[-1]))
+        for p in range(gathered.shape[0]):
+            row = gathered[p, 0] + (gathered[p, 1] << 31)
+            acc.merge_counts(row[:n_bins], row[n_bins:2 * n_bins],
+                             float(ll_all[p]), int(row[-1]))
     out = acc.result()
     out["gauc"] = float("nan")  # needs per-user score sets; exact mode only
     return out

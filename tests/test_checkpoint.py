@@ -63,6 +63,28 @@ def test_save_restore_resumes_identically(setup, tmp_path):
     mngr2.close()
 
 
+def test_restore_legacy_loader_state(setup, tmp_path):
+    """Checkpoints written before the loader state gained 'global_batch'
+    (a 3-key loader dict) must still restore: orbax rejects the structure
+    mismatch, and CheckpointManager retries with the legacy shape;
+    DataLoader.load_state_dict defaults the missing field."""
+    cfg, arrays, params, tx = setup
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    legacy_loader = {"epoch": 1, "step": 4, "seed": 5}  # pre-upgrade shape
+    mngr.save(3, params, tx.init(params), legacy_loader, {"val_auc": 0.5})
+    mngr.close()
+
+    loader = DataLoader(arrays, batch_size=16, seed=0)
+    mngr2 = CheckpointManager(str(tmp_path / "ckpt"))
+    restored = mngr2.restore(template={
+        "params": params, "opt_state": tx.init(params),
+        "loader": loader.state_dict(), "step": 0})
+    mngr2.close()
+    assert restored["step"] == 3
+    loader.load_state_dict(restored["loader"])
+    assert (loader.epoch, loader.step, loader.seed) == (1, 4, 5)
+
+
 def test_async_checkpoint_snapshot_isolation(setup, tmp_path):
     """async_checkpointing=True: save() returns before the disk write
     commits, yet the snapshot reflects the state AT save time — mutating

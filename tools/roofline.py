@@ -77,7 +77,8 @@ def main():
     args = ap.parse_args()
 
     from hpmn_tpu.ops.gru import gru_init
-    from hpmn_tpu.ops.pallas_gru import _bt_cap, pallas_gru_sequence_tm
+    from hpmn_tpu.ops.pallas_gru import (UNROLL, _bt_cap,
+                                         pallas_gru_sequence_tm)
 
     rng = np.random.default_rng(0)
     rows = []
@@ -122,10 +123,13 @@ def main():
     flops = T * B * 2 * (D_IN + D_M) * 4 * D_M
     bytes_ = T * B * (D_IN * 2 + D_M * 2)  # read x (bf16) + write h_seq
     bt = min(_bt_cap(jnp.bfloat16), B)
-    n_grid = (B // bt) * T
+    n_steps = (B // bt) * T  # sequential TIME steps across batch tiles
+    n_grid = (B // bt) * (T // UNROLL)  # Pallas grid iterations (8 steps ea.)
     add("gru_scan_fwd", t, flops, bytes_, "latency/VPU",
-        f"{t / n_grid * 1e6:.2f} us/grid-step ({n_grid} sequential steps; "
-        "a dependence chain has no throughput roofline)")
+        f"{t / n_steps * 1e6:.2f} us/time-step, "
+        f"{t / n_grid * 1e6:.2f} us/grid-iter ({n_steps} sequential steps "
+        f"in {n_grid} grid iterations; a dependence chain has no "
+        "throughput roofline)")
 
     # ---- layer-1 GRU scan, fwd+bwd --------------------------------------
     def loss(x, h0):
