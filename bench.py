@@ -40,7 +40,7 @@ def _make_batches(cfg, spec, n_batches, batch_size):
     ]
 
 
-def _bench_train_step(cfg, params, batches, n_dispatch=3, warmup=2, k=16):
+def _bench_train_step(cfg, params, batches, n_dispatch=3, warmup=2, k=32):
     """Times the production driver path: ``make_multistep_train`` with
     ``train.steps_per_dispatch = k`` (k fused steps per dispatch via
     lax.scan — what `train.py` runs when the config sets it). Measures

@@ -145,11 +145,11 @@ def _xlong(c):
     c.model.hpmn_period = 3  # period 4 would leave the 1024-period top dead)
     c.loss.l2_weight = 1e-5
     c.train.batch_size = 128
-    # Production default for the flagship: fuse 16 steps per dispatch
-    # (measured k sweep at B=512: k=1 25.7k, k=8 27.9k, k=16 29.5k, k=24
-    # 29.9k ex/s — k=16 captures most of the asymptote at reasonable
-    # logging granularity).
-    c.train.steps_per_dispatch = 16
+    # Production default for the flagship: fuse 32 steps per dispatch
+    # (measured k sweeps at B=512: k=1 25.7k, k=8 27.9k, k=16 31.2k, k=24
+    # 31.6k, k=32 31.7k, k=64 31.9k ex/s with bf16-sized tiles — k=32
+    # captures the asymptote to ~1% at reasonable logging granularity).
+    c.train.steps_per_dispatch = 32
     return c
 
 
