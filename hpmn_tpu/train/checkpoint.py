@@ -43,15 +43,24 @@ class CheckpointManager:
         )
 
     def save(self, step: int, params: Any, opt_state: Any,
-             loader_state: Dict, metrics: Dict[str, float]) -> None:
+             loader_state: Dict,
+             metrics: Optional[Dict[str, float]] = None) -> None:
+        """``metrics=None`` saves WITHOUT metrics: orbax's best-k GC only
+        ranks metric-carrying checkpoints, so a metrics-less snapshot
+        survives regardless of its quality and becomes ``latest_step()`` —
+        the shape a graceful-preemption save needs (a preemption snapshot
+        carrying a worse val_auc than the kept best-k would be deleted
+        at save time, verified empirically)."""
         state = {
             "params": params,
             "opt_state": opt_state,
             "loader": dict(loader_state),
             "step": step,
         }
-        self._mngr.save(step, args=ocp.args.StandardSave(state),
-                        metrics={k: float(v) for k, v in metrics.items()})
+        kwargs = {}
+        if metrics is not None:
+            kwargs["metrics"] = {k: float(v) for k, v in metrics.items()}
+        self._mngr.save(step, args=ocp.args.StandardSave(state), **kwargs)
         if not self._async:
             self._mngr.wait_until_finished()
 

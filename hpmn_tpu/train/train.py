@@ -303,7 +303,23 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         from tensorboardX import SummaryWriter
         writer = SummaryWriter(cfg.train.log_dir)
 
+    # Graceful preemption: on SIGTERM (the scheduler's eviction notice),
+    # checkpoint at the next step boundary and exit fast. Without this,
+    # everything since the last best-val improvement is lost — periodic
+    # saves are best-only. The snapshot saves WITHOUT metrics so orbax's
+    # best-k GC keeps it; it becomes `latest`, which auto-resume prefers.
+    import signal
+    import threading
+
+    stop_signal: list = []
+    prev_sigterm = None
+    if (mngr is not None
+            and threading.current_thread() is threading.main_thread()):
+        prev_sigterm = signal.signal(
+            signal.SIGTERM, lambda s, f: stop_signal.append(s))
+
     best_auc, best_step, evals_since_best = -1.0, -1, 0
+    preempted = False
     history = []
     step = start_step
     t_last, n_since = time.time(), 0
@@ -322,6 +338,11 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         params, opt_state, metrics = train_step(params, opt_state, batch)
         step += k
         n_since += k
+        if stop_signal:
+            mngr.save(step, params, opt_state, train_loader.state_dict())
+            log(f"SIGTERM: checkpoint saved at step {step}; exiting")
+            preempted = True
+            break
         if profiling and step >= 5 + cfg.train.profile_steps:
             jax.block_until_ready(params)
             jax.profiler.stop_trace()
@@ -362,6 +383,17 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                         f"@ {best_step})")
                     break
             t_last, n_since = time.time(), 0
+
+    if prev_sigterm is not None:
+        signal.signal(signal.SIGTERM, prev_sigterm)
+    if preempted:
+        # Fast exit: the evicting scheduler's deadline is short — skip the
+        # final test eval; the restarted run continues from this snapshot.
+        if writer is not None:
+            writer.close()
+        mngr.close()
+        return {"test": {}, "best_val_auc": best_auc, "best_step": best_step,
+                "history": history, "params": params, "preempted": True}
 
     # Final test eval with the best checkpoint if available, else current.
     if mngr is not None and mngr.best_step() is not None:

@@ -236,3 +236,62 @@ def test_sigkill_mid_run_resumes_to_identical_result(tmp_path):
     assert "resumed from step" in b2.stdout, b2.stdout[-2000:]
     assert final_test_line(b2.stdout) == ref, (final_test_line(b2.stdout),
                                                ref)
+
+
+@pytest.mark.slow
+def test_sigterm_graceful_checkpoint_and_resume(tmp_path):
+    """Graceful preemption: SIGTERM makes the trainer checkpoint at the
+    next step boundary (metrics-less, so orbax's best-k GC keeps it as
+    `latest`) and exit 0 fast; the relaunched command resumes from that
+    exact step — not from the last best-val improvement."""
+    import os
+    import signal
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+    ckpt = str(tmp_path / "ckpt")
+    cmd = [_sys.executable, "-u", "-m", "hpmn_tpu.train.train",
+           "--config", "amazon_hpmn", "--set",
+           "n_examples=2000", "train.batch_size=64",
+           "train.max_steps=4000", "train.eval_every=1000",
+           "train.log_every=5", "mesh.enable=False",
+           f"train.ckpt_dir={ckpt}",
+           "train.early_stop_patience=1000000"]
+
+    proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL, text=True, cwd=repo,
+                            env=env)
+    try:
+        deadline = _time.time() + 300
+        saw_progress = False
+        while _time.time() < deadline:
+            line = proc.stdout.readline()
+            if not line:
+                break
+            # past the first eval AND into ordinary steps (loss lines)
+            if line.startswith("step") and "loss" in line \
+                    and "step 5 " not in line:
+                saw_progress = True
+                break
+        assert saw_progress, "trainer never reached steady-state steps"
+        proc.send_signal(signal.SIGTERM)
+        out, _ = proc.communicate(timeout=120)
+        assert proc.returncode == 0, out[-2000:]
+        assert "SIGTERM: checkpoint saved at step" in out, out[-2000:]
+        saved_step = int(out.rsplit("saved at step ", 1)[1].split(";")[0])
+        # graceful exit skips the final test eval (fast shutdown)
+        assert "TEST " not in out
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    resumed = subprocess.run(
+        cmd[:-1] + [cmd[-1], "train.max_steps=%d" % (saved_step + 10)],
+        capture_output=True, text=True, timeout=600, cwd=repo, env=env)
+    assert resumed.returncode == 0, resumed.stderr[-2000:]
+    assert f"resumed from step {saved_step}" in resumed.stdout, \
+        resumed.stdout[-2000:]
+    assert "TEST " in resumed.stdout
