@@ -114,14 +114,17 @@ def _bundle_array(z, key: str) -> jnp.ndarray:
 # Device-resident arena primitives: the donated in-place row write keeps
 # the [cap, L, dm] arena in HBM across calls, and the masked gather serves
 # unknown uids (row -1) as cold-start zeros — mirroring the host arena.
-_arena_set = jax.jit(lambda a, r, v: a.at[r].set(v), donate_argnums=0)
+# The arena may be stored bf16 (arena_dtype="bfloat16": half the HBM per
+# user); compute always runs f32 — gathers upcast, write-backs downcast.
+_arena_set = jax.jit(lambda a, r, v: a.at[r].set(v.astype(a.dtype)),
+                     donate_argnums=0)
 
 
 @jax.jit
 def _arena_gather(mem: jax.Array, cnt: jax.Array, rows: jax.Array):
     known = rows >= 0
     safe = jnp.where(known, rows, 0)
-    m = jnp.where(known[:, None, None], mem[safe], 0.0)
+    m = jnp.where(known[:, None, None], mem[safe].astype(jnp.float32), 0.0)
     c = jnp.where(known, cnt[safe], 0).astype(jnp.int32)
     return m, c
 
@@ -135,10 +138,12 @@ def _arena_gather(mem: jax.Array, cnt: jax.Array, rows: jax.Array):
 def _dev_update(params: Dict, mem_arena, cnt_arena, rows, item_ids,
                 cat_ids, period: int):
     x = dense_lookup(params["embedding"], item_ids, cat_ids)
-    mem = mem_arena[rows]  # update allocates rows, so rows are valid
+    # update allocates rows, so rows are valid; compute in f32 even when
+    # the arena stores bf16
+    mem = mem_arena[rows].astype(jnp.float32)
     cnt = cnt_arena[rows].astype(jnp.int32)
     mem2, cnt2 = incremental_update(params["encoder"], mem, cnt, x, period)
-    return (mem_arena.at[rows].set(mem2),
+    return (mem_arena.at[rows].set(mem2.astype(mem_arena.dtype)),
             cnt_arena.at[rows].set(cnt2.astype(cnt_arena.dtype)))
 
 
@@ -147,7 +152,8 @@ def _dev_predict(params: Dict, mem_arena, rows, cand_items, cand_cats,
                  user_emb):
     known = rows >= 0
     safe = jnp.where(known, rows, 0)
-    mem = jnp.where(known[:, None, None], mem_arena[safe], 0.0)
+    mem = jnp.where(known[:, None, None],
+                    mem_arena[safe].astype(jnp.float32), 0.0)
     return _predict_scores(params, mem, cand_items, cand_cats, user_emb)
 
 
@@ -156,7 +162,8 @@ def _dev_rank(params: Dict, mem_arena, rows, cand_items, cand_cats,
               user_emb):
     known = rows >= 0
     safe = jnp.where(known, rows, 0)
-    mem = jnp.where(known[:, None, None], mem_arena[safe], 0.0)
+    mem = jnp.where(known[:, None, None],
+                    mem_arena[safe].astype(jnp.float32), 0.0)
     return _rank_scores(params, mem, cand_items, cand_cats, user_emb)
 
 
@@ -179,14 +186,23 @@ class UserMemoryStore:
     def __init__(self, cfg, params: Dict, uid_to_memory: Optional[dict] = None,
                  counters: Optional[dict] = None,
                  max_users: Optional[int] = None,
-                 device_resident: bool = False):
+                 device_resident: bool = False,
+                 arena_dtype: str = "float32"):
         """``device_resident=True`` keeps the memory arena in device HBM
         (1M users x 6 x 32 f32 = 768MB — comfortably fits): update/predict
         move only ids up and scores down instead of round-tripping the
         [B, L, dm] memory block per request batch, which is the measured
         serving bottleneck on relayed links (BASELINE.md). The uid->row
         index stays host-side; arena mutations are donated in-place jit
-        index updates."""
+        index updates.
+
+        ``arena_dtype="bfloat16"`` halves the per-user memory bytes (2M
+        users/chip at the XLong config): state is STORED bf16, every
+        request computes in f32 (gathers upcast, write-backs round). The
+        rounding matches the training-side bf16 scan option's regime;
+        drift vs the f32 arena is bounded by test."""
+        import ml_dtypes
+
         self.cfg = cfg
         self.params = params
         self.L = cfg.model.hpmn_layers
@@ -194,9 +210,12 @@ class UserMemoryStore:
         self.period = cfg.model.hpmn_period
         self.max_users = max_users
         self.device_resident = device_resident
+        self.arena_dtype = arena_dtype
+        np_dtype = (ml_dtypes.bfloat16 if arena_dtype == "bfloat16"
+                    else np.dtype(arena_dtype))
         cap = self._MIN_CAP if max_users is None else min(self._MIN_CAP,
                                                           max_users)
-        self._mem = np.zeros((cap, self.L, self.d_m), np.float32)
+        self._mem = np.zeros((cap, self.L, self.d_m), np_dtype)
         self._cnt = np.zeros((cap,), np.int64)
         if device_resident:
             self._mem = jnp.asarray(self._mem)
@@ -232,7 +251,7 @@ class UserMemoryStore:
             setattr(self, name, new)
         if self.device_resident:
             self._mem = jnp.zeros((new_cap, self.L, self.d_m),
-                                  jnp.float32).at[:cap].set(self._mem)
+                                  self._mem.dtype).at[:cap].set(self._mem)
             self._cnt = jnp.zeros((new_cap,), jnp.int32).at[:cap].set(
                 self._cnt)
         else:
@@ -338,9 +357,10 @@ class UserMemoryStore:
             return _arena_gather(self._mem, self._cnt, jnp.asarray(rows))
         known = rows >= 0
         safe = np.where(known, rows, 0)
-        mem = np.where(known[:, None, None], self._mem[safe], 0.0)
+        mem = np.where(known[:, None, None],
+                       self._mem[safe].astype(np.float32), 0.0)
         cnt = np.where(known, self._cnt[safe], 0).astype(np.int32)
-        return jnp.asarray(mem), jnp.asarray(cnt)
+        return jnp.asarray(mem, jnp.float32), jnp.asarray(cnt)
 
     def _scatter(self, uids, mem, cnt) -> None:
         self._set_rows(np.asarray(uids), mem, cnt)
@@ -448,10 +468,12 @@ class UserMemoryStore:
     @classmethod
     def load(cls, directory: str, cfg, params: Dict,
              max_users: Optional[int] = None,
-             device_resident: bool = False) -> "UserMemoryStore":
+             device_resident: bool = False,
+             arena_dtype: str = "float32") -> "UserMemoryStore":
         uids, mem, cnt = load_user_memory(directory)
         store = cls(cfg, params, max_users=max_users,
-                    device_resident=device_resident)
+                    device_resident=device_resident,
+                    arena_dtype=arena_dtype)
         if len(uids):
             store._set_rows(uids, mem, cnt)
         return store
@@ -512,7 +534,8 @@ class UserMemoryStore:
 
     @classmethod
     def load_bundle(cls, directory: str,
-                    device_resident: bool = False) -> "UserMemoryStore":
+                    device_resident: bool = False,
+                    arena_dtype: str = "float32") -> "UserMemoryStore":
         """Restore a :meth:`save_bundle` artifact (params + config +
         memory) without any trainer-side objects."""
         import json
@@ -548,4 +571,5 @@ class UserMemoryStore:
         params = jax.tree_util.tree_unflatten(treedef, leaves)
         return cls.load(directory, cfg, params,
                         max_users=meta.get("max_users"),
-                        device_resident=device_resident)
+                        device_resident=device_resident,
+                        arena_dtype=arena_dtype)

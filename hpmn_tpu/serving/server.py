@@ -411,6 +411,10 @@ def main(argv=None) -> None:
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=7600)
     ap.add_argument("--device_resident", action="store_true")
+    ap.add_argument("--arena_dtype", default="float32",
+                    choices=("float32", "bfloat16"),
+                    help="memory-arena storage dtype; bfloat16 halves the "
+                         "per-user bytes (compute stays f32)")
     ap.add_argument("--max_batch", type=int, default=256)
     ap.add_argument("--max_wait_ms", type=float, default=2.0)
     ap.add_argument("--save_on_exit", action="store_true")
@@ -441,7 +445,8 @@ def main(argv=None) -> None:
         store = load_aot_store(args.bundle)
     else:
         store = UserMemoryStore.load_bundle(
-            args.bundle, device_resident=args.device_resident)
+            args.bundle, device_resident=args.device_resident,
+            arena_dtype=args.arena_dtype)
     journal = None
     if args.journal:
         from .journal import UpdateJournal

@@ -443,3 +443,52 @@ def test_export_bundle_cli(tmp_path):
     assert ((scores > 0) & (scores < 1)).all()
     _, cnt = server._gather(uids)
     np.testing.assert_array_equal(np.asarray(cnt), 40)
+
+
+@pytest.mark.parametrize("device_resident", [False, True])
+def test_bf16_arena_tracks_f32(device_resident):
+    """arena_dtype='bfloat16' halves storage; state rounds to bf16 at each
+    write-back while compute stays f32, so memories/scores must track the
+    f32 arena within bf16 resolution across a multi-event stream."""
+    cfg, params = _setup()
+    rng = np.random.default_rng(5)
+    B, T = 6, 20
+    items = rng.integers(1, N_ITEMS, size=(B, T)).astype(np.int32)
+    cats = (items % N_CATS).astype(np.int32)
+    uids = np.arange(B)
+
+    f32 = UserMemoryStore(cfg, params, device_resident=device_resident)
+    bf16 = UserMemoryStore(cfg, params, device_resident=device_resident,
+                           arena_dtype="bfloat16")
+    assert np.dtype(np.asarray(bf16._mem).dtype).itemsize == 2
+    for t in range(T):
+        f32.update(uids, items[:, t], cats[:, t])
+        bf16.update(uids, items[:, t], cats[:, t])
+    m32, c32 = f32._gather(uids)
+    m16, c16 = bf16._gather(uids)
+    np.testing.assert_array_equal(np.asarray(c16), np.asarray(c32))
+    np.testing.assert_allclose(np.asarray(m16), np.asarray(m32), atol=3e-2)
+
+    cand = rng.integers(1, N_ITEMS, size=B).astype(np.int32)
+    np.testing.assert_allclose(
+        bf16.predict(uids, cand, (cand % N_CATS).astype(np.int32)),
+        f32.predict(uids, cand, (cand % N_CATS).astype(np.int32)),
+        atol=1e-2)
+
+
+def test_bf16_arena_persistence_roundtrip(tmp_path):
+    """Snapshots persist f32 regardless of arena dtype; a bf16 store
+    restores them (rounding once) and keeps serving."""
+    cfg, params = _setup()
+    rng = np.random.default_rng(6)
+    uids = np.arange(5)
+    hist = rng.integers(1, N_ITEMS, size=(5, 9)).astype(np.int32)
+    store = UserMemoryStore(cfg, params, arena_dtype="bfloat16")
+    store.ingest_histories(uids, hist, (hist % N_CATS).astype(np.int32))
+    store.save(str(tmp_path))
+
+    back = UserMemoryStore.load(str(tmp_path), cfg, params,
+                                arena_dtype="bfloat16")
+    m0, _ = store._gather(uids)
+    m1, _ = back._gather(uids)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m0), atol=1e-6)
