@@ -473,3 +473,7 @@ def main(argv=None) -> None:
             if journal is not None:
                 journal.truncate()  # the snapshot covers these events now
             print(f"saved memories back to {args.bundle}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -401,3 +401,64 @@ def test_stats_latency_percentiles():
             lat = st["latency_ms"]
             assert lat["n"] >= 5
             assert 0 <= lat["p50"] <= lat["p95"] <= lat["p99"]
+
+
+@pytest.mark.slow
+def test_serve_fleet_cli(tmp_path):
+    """tools/serve_fleet.py end to end: one command spawns N shard daemons
+    on ephemeral ports, prints the ShardedServingClient address list,
+    serves with sticky uid placement, and SIGTERM stops the whole fleet
+    cleanly."""
+    import os
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+
+    from hpmn_tpu.serving.sharded import ShardedServingClient
+
+    _, _, store = _store()
+    uids = np.arange(1, 9, dtype=np.int32)
+    _seed_users(store, uids, T=9)
+    bundle = tmp_path / "bundle"
+    bundle.mkdir()
+    store.save_bundle(str(bundle))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [_sys.executable, "tools/serve_fleet.py", "--bundle", str(bundle),
+         "--shards", "2", "--base_port", "0", "--force_cpu",
+         "--journal_dir", str(tmp_path / "journals")],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=repo)
+    try:
+        addrs = None
+        for _ in range(50):
+            line = proc.stdout.readline()
+            assert line, proc.stderr.read()
+            if line.startswith("FLEET ready:"):
+                addrs = [(h, int(p)) for h, p in
+                         (a.rsplit(":", 1)
+                          for a in line.split(":", 1)[1].split())]
+                break
+        assert addrs and len(addrs) == 2, addrs
+        cand = (uids * 7 % N_ITEMS).astype(np.int32)
+        ccat = (cand % N_CATS).astype(np.int32)
+        want = store.predict(uids, cand, ccat)
+        with ShardedServingClient(addrs, timeout_s=120) as cl:
+            got = cl.predict(uids, cand, ccat)
+            np.testing.assert_allclose(got, want, atol=1e-6)
+            # update -> predict coherence through the shards
+            cl.update(uids, cand, ccat)
+            store.update(uids, cand, ccat)
+            np.testing.assert_allclose(cl.predict(uids, cand, ccat),
+                                       store.predict(uids, cand, ccat),
+                                       atol=1e-6)
+        # journals captured the fan-out updates per shard
+        jdir = tmp_path / "journals"
+        assert sorted(os.listdir(jdir)) == ["shard_0.journal",
+                                            "shard_1.journal"]
+        assert all((jdir / f).stat().st_size > 0 for f in os.listdir(jdir))
+        proc.send_signal(_signal.SIGTERM)
+        assert proc.wait(timeout=60) == 0
+    finally:
+        if proc.poll() is None:
+            proc.kill()
