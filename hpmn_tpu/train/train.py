@@ -322,6 +322,11 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     preempted = False
     history = []
     step = start_step
+    # Goodput accounting (SURVEY.md §5.3): productive time = wall time spent
+    # training; eval + checkpoint pauses are "badput" the run reports so
+    # regressions in overhead are visible without a profiler.
+    t_run_start = time.time()
+    nonproductive_s = 0.0
     t_last, n_since = time.time(), 0
     k = cfg.train.steps_per_dispatch
     base_it = iter(train_loader)
@@ -361,6 +366,7 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 writer.add_scalar("train/examples_per_sec", eps, step)
             t_last, n_since = time.time(), 0
         if step % cfg.train.eval_every < k or step >= cfg.train.max_steps:
+            t_pause = time.time()
             val = run_evaluate(eval_step, params, val_loader,
                                cfg.eval_streaming_bins)
             log(f"step {step} VAL auc {val['auc']:.4f} "
@@ -381,11 +387,18 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 if evals_since_best >= cfg.train.early_stop_patience:
                     log(f"early stop at step {step} (best {best_auc:.4f} "
                         f"@ {best_step})")
+                    nonproductive_s += time.time() - t_pause
                     break
+            nonproductive_s += time.time() - t_pause
             t_last, n_since = time.time(), 0
 
     if prev_sigterm is not None:
         signal.signal(signal.SIGTERM, prev_sigterm)
+    total_s = max(time.time() - t_run_start, 1e-9)
+    goodput = max(0.0, 1.0 - nonproductive_s / total_s)
+    if step > start_step:
+        log(f"goodput {100 * goodput:.1f}% (train {total_s - nonproductive_s:.1f}s, "
+            f"eval+ckpt {nonproductive_s:.1f}s of {total_s:.1f}s)")
     if preempted:
         # Fast exit: the evicting scheduler's deadline is short — skip the
         # final test eval; the restarted run continues from this snapshot.
@@ -412,7 +425,7 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     if mngr is not None:
         mngr.close()
     return {"test": test, "best_val_auc": best_auc, "best_step": best_step,
-            "history": history, "params": params}
+            "history": history, "params": params, "goodput": goodput}
 
 
 def apply_overrides(cfg, kvs):
