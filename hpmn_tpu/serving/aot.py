@@ -115,8 +115,10 @@ class AotStore(UserMemoryStore):
     """A :class:`UserMemoryStore` whose request math runs pre-exported
     StableHLO instead of jit-traced model code (host arena only)."""
 
-    def __init__(self, cfg, leaves: List, exported: Dict, max_users=None):
-        super().__init__(cfg, params=None, max_users=max_users)
+    def __init__(self, cfg, leaves: List, exported: Dict, max_users=None,
+                 arena_dtype: str = "float32"):
+        super().__init__(cfg, params=None, max_users=max_users,
+                         arena_dtype=arena_dtype)
         self._leaves = [jnp.asarray(a) for a in leaves]
         self._exp = exported
 
@@ -159,7 +161,8 @@ class AotStore(UserMemoryStore):
 
 
 def load_aot_store(directory: str,
-                   max_users: Optional[int] = None) -> AotStore:
+                   max_users: Optional[int] = None,
+                   arena_dtype: str = "float32") -> AotStore:
     """Restore a bundle saved with ``save_bundle(export_compiled=True)``
     into an :class:`AotStore` — no trainer/model code involved."""
     import ml_collections
@@ -184,7 +187,8 @@ def load_aot_store(directory: str,
             exported[kind] = jax_export.deserialize(f.read())
     store = AotStore(cfg, leaves, exported,
                      max_users=max_users if max_users is not None
-                     else meta.get("max_users"))
+                     else meta.get("max_users"),
+                     arena_dtype=arena_dtype)
     uids, mem, cnt = load_user_memory(directory)
     if len(uids):
         store._set_rows(uids, mem, cnt)

@@ -42,7 +42,8 @@ def _relay(proc: subprocess.Popen, idx: int, ready: threading.Event,
     shard binds an ephemeral port, so fleets can never collide)."""
     for line in proc.stdout:  # type: ignore[union-attr]
         if "serving bundle" in line and " on " in line:
-            addr.append(line.split(" on ")[1].split()[0])
+            # rsplit: the bundle PATH may itself contain " on "
+            addr.append(line.rsplit(" on ", 1)[1].split()[0])
             ready.set()
         print(f"[shard {idx}] {line}", end="", flush=True)
     ready.set()  # EOF: either way, stop waiting on this shard
@@ -72,6 +73,17 @@ def main(argv=None) -> None:
 
     # base_port 0: every shard binds an ephemeral port (collision-free);
     # otherwise consecutive ports from base_port.
+    # Children must import hpmn_tpu even when the launcher ran from a
+    # checkout without pip install: propagate the package's parent dir.
+    import hpmn_tpu
+
+    pkg_root = os.path.dirname(os.path.dirname(
+        os.path.abspath(hpmn_tpu.__file__)))
+    child_env = dict(os.environ)
+    child_env["PYTHONPATH"] = (
+        pkg_root + os.pathsep + child_env["PYTHONPATH"]
+        if child_env.get("PYTHONPATH") else pkg_root)
+
     ports = [0 if args.base_port == 0 else args.base_port + i
              for i in range(args.shards)]
     procs: List[subprocess.Popen] = []
@@ -91,7 +103,8 @@ def main(argv=None) -> None:
             if getattr(args, flag):
                 cmd.append("--" + flag)
         proc = subprocess.Popen(cmd, stdout=subprocess.PIPE,
-                                stderr=subprocess.STDOUT, text=True)
+                                stderr=subprocess.STDOUT, text=True,
+                                env=child_env)
         ev: threading.Event = threading.Event()
         captured: List[str] = []
         threading.Thread(target=_relay, args=(proc, i, ev, captured),
@@ -99,6 +112,8 @@ def main(argv=None) -> None:
         procs.append(proc)
         readies.append(ev)
         addrs.append(captured)
+
+    failed = []
 
     def _forward(signum, frame):
         for p in procs:
@@ -112,19 +127,24 @@ def main(argv=None) -> None:
         if not ev.wait(timeout=args.ready_timeout_s):
             print(f"FLEET error: shard {i} not ready within "
                   f"{args.ready_timeout_s}s; terminating", flush=True)
+            failed.append(i)
             _forward(None, None)
             break
         if not addrs[i] or procs[i].poll() is not None:
             print(f"FLEET error: shard {i} exited "
                   f"{procs[i].returncode} during startup; terminating",
                   flush=True)
+            failed.append(i)
             _forward(None, None)
             break
     else:
         print("FLEET ready: " + " ".join(a[0] for a in addrs), flush=True)
 
     codes = [p.wait() for p in procs]
-    sys.exit(max(abs(c) for c in codes))
+    # A startup failure must be visible in the exit code: SIGTERM'd shards
+    # exit 0 (graceful daemon shutdown), so codes alone would report
+    # success for a fleet that never came up.
+    sys.exit(max([abs(c) for c in codes] + ([1] if failed else [])))
 
 
 if __name__ == "__main__":

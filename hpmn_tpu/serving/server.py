@@ -442,7 +442,7 @@ def main(argv=None) -> None:
             ap.error("--aot serves the host arena; drop --device_resident")
         from .aot import load_aot_store
 
-        store = load_aot_store(args.bundle)
+        store = load_aot_store(args.bundle, arena_dtype=args.arena_dtype)
     else:
         store = UserMemoryStore.load_bundle(
             args.bundle, device_resident=args.device_resident,

@@ -31,6 +31,7 @@ class CheckpointManager:
         in-flight save."""
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
+        self._dir = directory
         self._async = async_checkpointing
         self._mngr = ocp.CheckpointManager(
             directory,
@@ -63,6 +64,30 @@ class CheckpointManager:
         self._mngr.save(step, args=ocp.args.StandardSave(state), **kwargs)
         if not self._async:
             self._mngr.wait_until_finished()
+
+    def save_preemption(self, step: int, params: Any, opt_state: Any,
+                        loader_state: Dict) -> None:
+        """Graceful-preemption snapshot: metrics-less (survives best-k GC,
+        becomes ``latest_step()``), with ROTATION — exactly one preemption
+        snapshot is kept, tracked by a marker file, because metrics-less
+        steps are permanently exempt from orbax's GC and a long run on a
+        preemptible pool would otherwise accumulate one full params+opt
+        snapshot per eviction."""
+        marker = os.path.join(self._dir, "preempt_step.txt")
+        prev = None
+        if os.path.exists(marker):
+            try:
+                prev = int(open(marker).read().strip())
+            except ValueError:
+                prev = None
+        self.save(step, params, opt_state, loader_state)  # metrics-less
+        if (prev is not None and prev != step
+                and prev in self._mngr.all_steps()
+                and prev != self._mngr.best_step()):
+            self._mngr.delete(prev)
+        with open(marker + ".tmp", "w") as f:
+            f.write(str(step))
+        os.replace(marker + ".tmp", marker)
 
     def restore(self, step: Optional[int] = None, template: Any = None):
         """Restore `step` (default: latest). Returns the state dict or None

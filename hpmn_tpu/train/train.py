@@ -334,66 +334,72 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         base_it = chunk_batches(base_it, k)
     it = prefetch_to_device(base_it, place)
     profiling, profiled = False, False  # one-shot: trace a single window
-    while step < cfg.train.max_steps:
-        batch = next(it)
-        if cfg.train.profile_steps and step >= 5 and not profiling \
-                and not profiled:
-            jax.profiler.start_trace("/tmp/hpmn_trace")
-            profiling = True
-        params, opt_state, metrics = train_step(params, opt_state, batch)
-        step += k
-        n_since += k
-        if stop_signal:
-            mngr.save(step, params, opt_state, train_loader.state_dict())
-            log(f"SIGTERM: checkpoint saved at step {step}; exiting")
-            preempted = True
-            break
-        if profiling and step >= 5 + cfg.train.profile_steps:
-            jax.block_until_ready(params)
-            jax.profiler.stop_trace()
-            profiling, profiled = False, True
-            log("profile trace written to /tmp/hpmn_trace")
-        if step % cfg.train.log_every < k:  # crossed a log boundary
-            jax.block_until_ready(metrics["loss"])
-            dt = time.time() - t_last
-            eps = n_since * cfg.train.batch_size / dt
-            log(f"step {step} loss {float(metrics['loss']):.4f} "
-                f"bce {float(metrics['bce']):.4f} ex/s {eps:.1f}")
-            if writer is not None:
-                # NB: do not shadow `k` (the steps-per-dispatch stride)
-                for name, v in metrics.items():
-                    writer.add_scalar(f"train/{name}", float(v), step)
-                writer.add_scalar("train/examples_per_sec", eps, step)
-            t_last, n_since = time.time(), 0
-        if step % cfg.train.eval_every < k or step >= cfg.train.max_steps:
-            t_pause = time.time()
-            val = run_evaluate(eval_step, params, val_loader,
-                               cfg.eval_streaming_bins)
-            log(f"step {step} VAL auc {val['auc']:.4f} "
-                f"gauc {val['gauc']:.4f} log_loss {val['log_loss']:.4f}")
-            if writer is not None:
-                writer.add_scalar("val/auc", val["auc"], step)
-                writer.add_scalar("val/log_loss", val["log_loss"], step)
-            history.append({"step": step, **val})
-            if val["auc"] > best_auc:
-                best_auc, best_step, evals_since_best = val["auc"], step, 0
-                if mngr is not None:
-                    mngr.save(step, params, opt_state,
-                              train_loader.state_dict(),
-                              {"val_auc": val["auc"],
-                               "val_log_loss": val["log_loss"]})
-            else:
-                evals_since_best += 1
-                if evals_since_best >= cfg.train.early_stop_patience:
-                    log(f"early stop at step {step} (best {best_auc:.4f} "
-                        f"@ {best_step})")
-                    nonproductive_s += time.time() - t_pause
-                    break
-            nonproductive_s += time.time() - t_pause
-            t_last, n_since = time.time(), 0
+    try:
+        while step < cfg.train.max_steps:
+            batch = next(it)
+            if cfg.train.profile_steps and step >= 5 and not profiling \
+                    and not profiled:
+                jax.profiler.start_trace("/tmp/hpmn_trace")
+                profiling = True
+            params, opt_state, metrics = train_step(params, opt_state, batch)
+            step += k
+            n_since += k
+            if stop_signal:
+                mngr.save_preemption(step, params, opt_state,
+                                     train_loader.state_dict())
+                log(f"SIGTERM: checkpoint saved at step {step}; exiting")
+                preempted = True
+                break
+            if profiling and step >= 5 + cfg.train.profile_steps:
+                jax.block_until_ready(params)
+                jax.profiler.stop_trace()
+                profiling, profiled = False, True
+                log("profile trace written to /tmp/hpmn_trace")
+            if step % cfg.train.log_every < k:  # crossed a log boundary
+                jax.block_until_ready(metrics["loss"])
+                dt = time.time() - t_last
+                eps = n_since * cfg.train.batch_size / dt
+                log(f"step {step} loss {float(metrics['loss']):.4f} "
+                    f"bce {float(metrics['bce']):.4f} ex/s {eps:.1f}")
+                if writer is not None:
+                    # NB: do not shadow `k` (the steps-per-dispatch stride)
+                    for name, v in metrics.items():
+                        writer.add_scalar(f"train/{name}", float(v), step)
+                    writer.add_scalar("train/examples_per_sec", eps, step)
+                t_last, n_since = time.time(), 0
+            if step % cfg.train.eval_every < k or step >= cfg.train.max_steps:
+                t_pause = time.time()
+                val = run_evaluate(eval_step, params, val_loader,
+                                   cfg.eval_streaming_bins)
+                log(f"step {step} VAL auc {val['auc']:.4f} "
+                    f"gauc {val['gauc']:.4f} log_loss {val['log_loss']:.4f}")
+                if writer is not None:
+                    writer.add_scalar("val/auc", val["auc"], step)
+                    writer.add_scalar("val/log_loss", val["log_loss"], step)
+                history.append({"step": step, **val})
+                if val["auc"] > best_auc:
+                    best_auc, best_step, evals_since_best = val["auc"], step, 0
+                    if mngr is not None:
+                        mngr.save(step, params, opt_state,
+                                  train_loader.state_dict(),
+                                  {"val_auc": val["auc"],
+                                   "val_log_loss": val["log_loss"]})
+                else:
+                    evals_since_best += 1
+                    if evals_since_best >= cfg.train.early_stop_patience:
+                        log(f"early stop at step {step} (best {best_auc:.4f} "
+                            f"@ {best_step})")
+                        nonproductive_s += time.time() - t_pause
+                        break
+                nonproductive_s += time.time() - t_pause
+                t_last, n_since = time.time(), 0
 
-    if prev_sigterm is not None:
-        signal.signal(signal.SIGTERM, prev_sigterm)
+    finally:
+        # Restore the previous SIGTERM disposition even when the
+        # loop raises — leaving the swallow-into-list lambda
+        # installed would make the process ignore SIGTERM forever.
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
     total_s = max(time.time() - t_run_start, 1e-9)
     goodput = max(0.0, 1.0 - nonproductive_s / total_s)
     if step > start_step:
@@ -402,11 +408,16 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     if preempted:
         # Fast exit: the evicting scheduler's deadline is short — skip the
         # final test eval; the restarted run continues from this snapshot.
+        # "test" keeps the metric keys (nan) so consumers that index
+        # res["test"]["auc"] unconditionally (sweep, make_golden) survive.
         if writer is not None:
             writer.close()
         mngr.close()
-        return {"test": {}, "best_val_auc": best_auc, "best_step": best_step,
-                "history": history, "params": params, "preempted": True}
+        nan = float("nan")
+        return {"test": {"auc": nan, "gauc": nan, "log_loss": nan, "n": 0.0},
+                "best_val_auc": best_auc, "best_step": best_step,
+                "history": history, "params": params, "preempted": True,
+                "goodput": goodput}
 
     # Final test eval with the best checkpoint if available, else current.
     if mngr is not None and mngr.best_step() is not None:

@@ -132,3 +132,16 @@ def test_export_serving_bytes_roundtrip():
     assert set(blobs) == {"update", "predict", "rank"}
     exp = jax_export.deserialize(blobs["predict"])
     assert "cpu" in [p.lower() for p in exp.platforms]
+
+
+def test_aot_bf16_arena(tmp_path):
+    """--aot composes with the bf16 arena: exported graphs consume the
+    f32-upcast gather, state rounds at write-back."""
+    _, store, uids, rng = _bundle(tmp_path)
+    aot = load_aot_store(str(tmp_path), arena_dtype="bfloat16")
+    assert np.dtype(np.asarray(aot._mem).dtype).itemsize == 2
+    cand = rng.integers(1, N_ITEMS, size=len(uids)).astype(np.int32)
+    ccat = (cand % N_CATS).astype(np.int32)
+    np.testing.assert_allclose(aot.predict(uids, cand, ccat),
+                               store.predict(uids, cand, ccat), atol=1e-2)
+    aot.update(uids, cand, ccat)  # write-back rounds, must not error
