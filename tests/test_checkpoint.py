@@ -295,3 +295,32 @@ def test_sigterm_graceful_checkpoint_and_resume(tmp_path):
     assert f"resumed from step {saved_step}" in resumed.stdout, \
         resumed.stdout[-2000:]
     assert "TEST " in resumed.stdout
+
+
+def test_preemption_snapshot_rotation(setup, tmp_path):
+    """save_preemption keeps exactly ONE metrics-less snapshot (marker-file
+    rotation + orbax delete): repeated evictions must not accumulate
+    snapshots, and the best metric-carrying checkpoint is never deleted."""
+    import os
+
+    cfg, arrays, params, tx = setup
+    opt = tx.init(params)
+    loader = DataLoader(arrays, batch_size=16, seed=5)
+    d = str(tmp_path / "ckpt")
+    mngr = CheckpointManager(d, keep_best_k=2)
+    mngr.save(2, params, opt, loader.state_dict(), {"val_auc": 0.8})
+    for step in (5, 9, 13):
+        mngr.save_preemption(step, params, opt, loader.state_dict())
+    assert mngr.latest_step() == 13
+    assert mngr.best_step() == 2
+    steps = sorted(int(x) for x in os.listdir(d) if x.isdigit())
+    assert steps == [2, 13], steps  # best kept, older preemptions rotated
+    mngr.close()
+
+    # resume prefers the preemption snapshot (latest)
+    mngr2 = CheckpointManager(d, keep_best_k=2)
+    restored = mngr2.restore(template={
+        "params": params, "opt_state": opt,
+        "loader": loader.state_dict(), "step": 0})
+    assert restored["step"] == 13
+    mngr2.close()
