@@ -121,12 +121,19 @@ class AotStore(UserMemoryStore):
                          arena_dtype=arena_dtype)
         self._leaves = [jnp.asarray(a) for a in leaves]
         self._exp = exported
+        # Shape-specialized execution: the serialized graphs carry SYMBOLIC
+        # batch dims, and calling them directly runs a shape-generic
+        # executable (measured 1.7-2.7x slower on CPU at B=512-4096).
+        # jit-wrapping re-specializes per concrete request shape — the math
+        # stays the exported graph (still zero model code), and the
+        # daemon's power-of-two buckets keep the compile count tiny.
+        self._run = {k: jax.jit(e.call) for k, e in exported.items()}
 
     # ---- request paths route through the exported graphs ---------------
     def update(self, uids, item_ids, cat_ids) -> None:
         uids = np.asarray(uids)
         mem, cnt = self._gather(uids)
-        mem2, cnt2 = self._exp["update"].call(
+        mem2, cnt2 = self._run["update"](
             mem, cnt, jnp.asarray(item_ids, jnp.int32),
             jnp.asarray(cat_ids, jnp.int32), *self._leaves)
         self._scatter(uids, np.asarray(mem2), np.asarray(cnt2))
@@ -134,7 +141,7 @@ class AotStore(UserMemoryStore):
     def predict(self, uids, cand_items, cand_cats) -> np.ndarray:
         uids = np.asarray(uids)
         mem, _ = self._gather(uids)
-        return np.asarray(self._exp["predict"].call(
+        return np.asarray(self._run["predict"](
             mem, jnp.asarray(uids, jnp.int32),
             jnp.asarray(cand_items, jnp.int32),
             jnp.asarray(cand_cats, jnp.int32), *self._leaves))
@@ -142,7 +149,7 @@ class AotStore(UserMemoryStore):
     def rank(self, uids, cand_items, cand_cats) -> np.ndarray:
         uids = np.asarray(uids)
         mem, _ = self._gather(uids)
-        return np.asarray(self._exp["rank"].call(
+        return np.asarray(self._run["rank"](
             mem, jnp.asarray(uids, jnp.int32),
             jnp.asarray(cand_items, jnp.int32),
             jnp.asarray(cand_cats, jnp.int32), *self._leaves))
