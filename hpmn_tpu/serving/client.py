@@ -38,23 +38,27 @@ class ServingClient:
         return resp
 
     def predict(self, uids: Sequence[int], cand_items: Sequence[int],
-                cand_cats: Sequence[int]) -> np.ndarray:
-        """CTR scores for (user, candidate) pairs -> float32 [B]."""
+                cand_cats: Sequence[int],
+                model: Optional[str] = None) -> np.ndarray:
+        """CTR scores for (user, candidate) pairs -> float32 [B].
+        ``model`` addresses a named store on a multi-model daemon
+        (hpmn-serve --extra_bundle NAME=PATH); None = "default"."""
         r = self._call("predict", uids=_l(uids), cand_items=_l(cand_items),
-                       cand_cats=_l(cand_cats))
+                       cand_cats=_l(cand_cats), **_m(model))
         return np.asarray(r["scores"], np.float32)
 
-    def rank(self, uids: Sequence[int], cand_items, cand_cats) -> np.ndarray:
+    def rank(self, uids: Sequence[int], cand_items, cand_cats,
+             model: Optional[str] = None) -> np.ndarray:
         """Score C candidates per user -> float32 [B, C]."""
         r = self._call("rank", uids=_l(uids), cand_items=_l(cand_items),
-                       cand_cats=_l(cand_cats))
+                       cand_cats=_l(cand_cats), **_m(model))
         return np.asarray(r["scores"], np.float32)
 
     def update(self, uids: Sequence[int], item_ids: Sequence[int],
-               cat_ids: Sequence[int]) -> None:
+               cat_ids: Sequence[int], model: Optional[str] = None) -> None:
         """Ingest one behavior per user into the lifelong memories."""
         self._call("update", uids=_l(uids), item_ids=_l(item_ids),
-                   cat_ids=_l(cat_ids))
+                   cat_ids=_l(cat_ids), **_m(model))
 
     def stats(self) -> dict:
         return self._call("stats")
@@ -74,3 +78,7 @@ class ServingClient:
 
 def _l(a) -> List:
     return np.asarray(a).tolist()
+
+
+def _m(model: Optional[str]) -> dict:
+    return {"model": model} if model else {}

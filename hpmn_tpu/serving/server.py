@@ -106,8 +106,17 @@ class MicroBatcher:
 
     def __init__(self, store, max_batch: int = 256, max_wait_ms: float = 2.0,
                  journal=None):
-        self.store = store
-        self.journal = journal  # write-ahead log (serving/journal.py)
+        # Multi-model serving: `store` may be one store (named "default")
+        # or a dict {name: store} — requests route by their optional
+        # "model" field (A/B tests, canaries, one daemon per host).
+        # `journal` correspondingly is one journal (for "default") or a
+        # dict {name: journal}.
+        self.stores = store if isinstance(store, dict) else {"default": store}
+        self.store = self.stores.get("default",
+                                     next(iter(self.stores.values())))
+        self.journals = (journal if isinstance(journal, dict)
+                         else {"default": journal})
+        self.journal = self.journals.get("default")
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue()
@@ -198,18 +207,21 @@ class MicroBatcher:
             for key in order:
                 self._run_group(key, groups[key])
 
-    @staticmethod
-    def _group_key(method: str, payload: dict) -> tuple:
+    def _group_key(self, method: str, payload: dict) -> tuple:
+        model = payload.get("model") or "default"
+        if model not in self.stores:
+            raise ValueError(f"unknown model {model!r}; serving "
+                             f"{sorted(self.stores)}")
         if method == "rank":
             c = len(payload["cand_items"][0]) if payload["cand_items"] else 0
-            return ("rank", c)
-        return (method,)
+            return ("rank", model, c)
+        return (method, model)
 
     def _run_group(self, key: tuple,
                    reqs: List[Tuple[dict, Future]]) -> None:
         method = key[0]
         try:
-            results = self._execute(method, reqs)
+            results = self._execute(key, reqs)
         except Exception as e:  # surface to every caller, keep serving
             for _, fut in reqs:
                 if not fut.done():
@@ -237,7 +249,10 @@ class MicroBatcher:
                 batches.append(([item], us))
         return [sub for sub, _ in batches]
 
-    def _run_update(self, reqs: List[Tuple[dict, Future]]) -> None:
+    def _run_update(self, reqs: List[Tuple[dict, Future]],
+                    model: str = "default") -> None:
+        store = self.stores[model]
+        journal = self.journals.get(model)
         uids = np.concatenate(
             [np.asarray(r["uids"], np.int32) for r, _ in reqs])
         items = np.concatenate(
@@ -245,10 +260,10 @@ class MicroBatcher:
         cats = np.concatenate(
             [np.asarray(r["cat_ids"], np.int32) for r, _ in reqs])
         n = uids.shape[0]
-        if self.journal is not None:
+        if journal is not None:
             # Write-ahead: persist the accepted events BEFORE applying, so
             # a crash between here and the arena write replays them.
-            self.journal.append(uids, items, cats)
+            journal.append(uids, items, cats)
         pad = _bucket(n, self.max_batch) - n
         if pad:
             # Replicate the first row WHOLE (uid + event). Exact: the
@@ -262,17 +277,19 @@ class MicroBatcher:
         self.stats["batches"] += 1
         self.stats["fused_rows"] += n
         self.stats["padded_rows"] += pad
-        self.store.update(uids, items, cats)
+        store.update(uids, items, cats)
 
-    def _execute(self, method: str,
+    def _execute(self, key: tuple,
                  reqs: List[Tuple[dict, Future]]) -> List[object]:
+        method, model = key[0], key[1]
+        store = self.stores[model]
         if method == "update":
             # A fused update batch must not contain the same uid twice:
             # the store gathers all rows BEFORE writing any, so two events
             # for one user would collapse to one (last write wins). Split
             # the requests greedily into conflict-free sub-batches.
             for sub in self._conflict_free(reqs):
-                self._run_update(sub)
+                self._run_update(sub, model)
             return [{"ok": True} for _ in reqs]
 
         sizes = [len(r["uids"]) for r, _ in reqs]
@@ -299,13 +316,13 @@ class MicroBatcher:
         if method == "predict":
             items = cat("cand_items", np.int32(0))
             cats = cat("cand_cats", np.int32(0))
-            scores = np.asarray(self.store.predict(uids, items, cats))
+            scores = np.asarray(store.predict(uids, items, cats))
         elif method == "rank":
             first = np.asarray(reqs[0][0]["cand_items"], np.int32)
             pad_row = np.zeros((first.shape[1],), np.int32)
             items = cat("cand_items", pad_row)
             cats = cat("cand_cats", pad_row)
-            scores = np.asarray(self.store.rank(uids, items, cats))
+            scores = np.asarray(store.rank(uids, items, cats))
         else:
             raise ValueError(f"unknown method {method!r}")
         out, off = [], 0
@@ -337,7 +354,9 @@ class _Handler(socketserver.BaseRequestHandler):
                 if method == "stats":
                     resp = {"ok": True, "stats": dict(srv.batcher.stats),
                             "latency_ms": srv.batcher.latency_ms(),
-                            "n_users": srv.store.n_users}
+                            "n_users": srv.store.n_users,
+                            "models": {name: st.n_users for name, st
+                                       in srv.stores.items()}}
                 elif method in ("predict", "rank", "update"):
                     fut = srv.batcher.submit(method, msg)
                     res = fut.result(timeout=srv.request_timeout_s)
@@ -362,21 +381,27 @@ class _TCPServer(socketserver.ThreadingTCPServer):
 
 
 class ServingServer:
-    """Threaded TCP serving daemon over a UserMemoryStore.
+    """Threaded TCP serving daemon over one or more UserMemoryStores.
 
     Usage::
 
         with ServingServer(store, port=0) as srv:
             client = ServingClient("127.0.0.1", srv.port)
             scores = client.predict(uids, items, cats)
+
+    Multi-model (A/B, canary): pass ``store={"default": a, "candidate": b}``
+    (and optionally ``journal={name: journal}``); clients address models
+    with the request's ``model`` field (``ServingClient(...).predict(...,
+    model="candidate")``).
     """
 
     def __init__(self, store, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 256, max_wait_ms: float = 2.0,
                  request_timeout_s: float = 60.0, journal=None):
-        self.store = store
         self.batcher = MicroBatcher(store, max_batch, max_wait_ms,
                                     journal=journal)
+        self.stores = self.batcher.stores
+        self.store = self.batcher.store
         self.request_timeout_s = request_timeout_s
         self._tcp = _TCPServer((host, port), _Handler)
         self._tcp.owner = self  # type: ignore[attr-defined]
@@ -423,6 +448,13 @@ def main(argv=None) -> None:
                          "replayed over the bundle on startup, so a "
                          "crashed daemon loses no accepted updates; "
                          "truncated after --save_on_exit snapshots")
+    ap.add_argument("--extra_bundle", action="append", default=[],
+                    metavar="NAME=PATH",
+                    help="serve additional models from the same daemon "
+                         "(A/B / canary); clients address them with the "
+                         "request's 'model' field. Repeatable. Each extra "
+                         "model journals to <--journal>.<NAME> and "
+                         "save_on_exit snapshots into its own bundle dir")
     ap.add_argument("--aot", action="store_true",
                     help="serve the bundle's exported StableHLO graphs "
                          "(save_bundle(export_compiled=True)): no model "
@@ -437,41 +469,60 @@ def main(argv=None) -> None:
 
     from .lifelong import UserMemoryStore
 
-    if args.aot:
-        if args.device_resident:
-            ap.error("--aot serves the host arena; drop --device_resident")
-        from .aot import load_aot_store
+    if args.aot and args.device_resident:
+        ap.error("--aot serves the host arena; drop --device_resident")
 
-        store = load_aot_store(args.bundle, arena_dtype=args.arena_dtype)
-    else:
-        store = UserMemoryStore.load_bundle(
-            args.bundle, device_resident=args.device_resident,
+    def load(path):
+        if args.aot:
+            from .aot import load_aot_store
+
+            return load_aot_store(path, arena_dtype=args.arena_dtype)
+        return UserMemoryStore.load_bundle(
+            path, device_resident=args.device_resident,
             arena_dtype=args.arena_dtype)
-    journal = None
+
+    bundles = {"default": args.bundle}
+    for spec in args.extra_bundle:
+        name, _, path = spec.partition("=")
+        if not path or name in bundles:
+            ap.error(f"--extra_bundle wants NAME=PATH with a fresh name, "
+                     f"got {spec!r}")
+        bundles[name] = path
+    stores = {name: load(path) for name, path in bundles.items()}
+    journals = {}
     if args.journal:
         from .journal import UpdateJournal
 
-        replayed = 0
-        for uids, items, cats in UpdateJournal.replay(args.journal):
-            store.update(uids, items, cats)
-            replayed += len(uids)
-        journal = UpdateJournal(args.journal)
-        if replayed:
-            print(f"replayed {replayed} journaled events", flush=True)
+        for name, st in stores.items():
+            jpath = (args.journal if name == "default"
+                     else f"{args.journal}.{name}")
+            replayed = 0
+            for uids, items, cats in UpdateJournal.replay(jpath):
+                st.update(uids, items, cats)
+                replayed += len(uids)
+            journals[name] = UpdateJournal(jpath)
+            if replayed:
+                print(f"replayed {replayed} journaled events"
+                      + (f" for model {name}" if name != "default" else ""),
+                      flush=True)
     done = threading.Event()
     for sig in (signal.SIGINT, signal.SIGTERM):
         signal.signal(sig, lambda *_: done.set())
-    with ServingServer(store, host=args.host, port=args.port,
+    with ServingServer(stores, host=args.host, port=args.port,
                        max_batch=args.max_batch,
-                       max_wait_ms=args.max_wait_ms, journal=journal) as srv:
+                       max_wait_ms=args.max_wait_ms,
+                       journal=journals) as srv:
+        extra = (f" + models {sorted(set(stores) - {'default'})}"
+                 if len(stores) > 1 else "")
         print(f"serving bundle {args.bundle} on {srv.host}:{srv.port} "
-              f"(n_users={store.n_users})", flush=True)
+              f"(n_users={srv.store.n_users}){extra}", flush=True)
         done.wait()
         if args.save_on_exit:
             srv.batcher.close()  # flush queued updates before persisting
-            store.save(args.bundle)
-            if journal is not None:
-                journal.truncate()  # the snapshot covers these events now
+            for name, st in stores.items():
+                st.save(bundles[name])
+                if journals.get(name) is not None:
+                    journals[name].truncate()  # snapshot covers these now
             print(f"saved memories back to {args.bundle}", flush=True)
 
 

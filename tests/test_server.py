@@ -462,3 +462,44 @@ def test_serve_fleet_cli(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_multi_model_daemon():
+    """One daemon, several named stores (A/B / canary): requests route by
+    the 'model' field, updates hit only the addressed store, stats report
+    per-model user counts, unknown models fail their request only."""
+    _, _, a = _store(seed=0)
+    _, _, b = _store(seed=1)
+    uids = np.arange(1, 6, dtype=np.int32)
+    _seed_users(a, uids, T=9, seed=3)
+    _seed_users(b, uids, T=9, seed=4)
+    cand = (uids * 3 % N_ITEMS).astype(np.int32)
+    ccat = (cand % N_CATS).astype(np.int32)
+    want_a = a.predict(uids, cand, ccat)
+    want_b = b.predict(uids, cand, ccat)
+    assert not np.allclose(want_a, want_b)  # genuinely different models
+
+    with ServingServer({"default": a, "candidate": b}, port=0) as srv:
+        with ServingClient(srv.host, srv.port) as cl:
+            np.testing.assert_allclose(cl.predict(uids, cand, ccat),
+                                       want_a, atol=1e-6)
+            np.testing.assert_allclose(
+                cl.predict(uids, cand, ccat, model="candidate"),
+                want_b, atol=1e-6)
+            # update routes to the addressed store only
+            cl.update(uids, cand, ccat, model="candidate")
+            _, cnt_a = a._gather(uids)
+            _, cnt_b = b._gather(uids)
+            np.testing.assert_array_equal(np.asarray(cnt_a), 9)
+            np.testing.assert_array_equal(np.asarray(cnt_b), 10)
+            st = cl.stats()
+            assert st["models"] == {"default": 5, "candidate": 5}
+            try:
+                cl.predict(uids, cand, ccat, model="nope")
+                assert False, "expected unknown-model error"
+            except RuntimeError as e:
+                assert "unknown model" in str(e)
+            # the daemon keeps serving after the failed request
+            np.testing.assert_allclose(cl.predict(uids, cand, ccat),
+                                       a.predict(uids, cand, ccat),
+                                       atol=1e-6)
