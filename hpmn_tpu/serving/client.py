@@ -60,6 +60,15 @@ class ServingClient:
         self._call("update", uids=_l(uids), item_ids=_l(item_ids),
                    cat_ids=_l(cat_ids), **_m(model))
 
+    def reload(self, bundle: str, model: Optional[str] = None) -> int:
+        """Zero-downtime model refresh: swap the named model's store for a
+        freshly loaded bundle (daemon-side path). Returns the new store's
+        user count. Queued requests are answered (the swap serializes on
+        the dispatcher); the model's journal is truncated — the new bundle
+        is the new ground truth."""
+        r = self._call("reload", bundle=bundle, **_m(model))
+        return int(r.get("n_users", 0))
+
     def stats(self) -> dict:
         return self._call("stats")
 

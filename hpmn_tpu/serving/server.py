@@ -105,7 +105,7 @@ class MicroBatcher:
     slice of the fused result (or an exception)."""
 
     def __init__(self, store, max_batch: int = 256, max_wait_ms: float = 2.0,
-                 journal=None):
+                 journal=None, loader=None):
         # Multi-model serving: `store` may be one store (named "default")
         # or a dict {name: store} — requests route by their optional
         # "model" field (A/B tests, canaries, one daemon per host).
@@ -117,6 +117,7 @@ class MicroBatcher:
         self.journals = (journal if isinstance(journal, dict)
                          else {"default": journal})
         self.journal = self.journals.get("default")
+        self.loader = loader  # bundle path -> store (reload support)
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue()
@@ -202,13 +203,18 @@ class MicroBatcher:
                     groups[key] = []
                     order.append(key)
                 groups[key].append((payload, fut))
-            # updates first so same-cycle predicts observe queued events
-            order.sort(key=lambda k: 0 if k[0] == "update" else 1)
+            # updates first so same-cycle predicts observe queued events;
+            # reloads after updates (pending writes land on the store that
+            # accepted them) and before reads
+            order.sort(key=lambda k: {"update": 0, "reload": 1}.get(k[0], 2))
             for key in order:
                 self._run_group(key, groups[key])
 
     def _group_key(self, method: str, payload: dict) -> tuple:
         model = payload.get("model") or "default"
+        if method == "reload":
+            # reload may introduce a NEW model name; no existence check
+            return ("reload", model, payload.get("_seq", id(payload)))
         if model not in self.stores:
             raise ValueError(f"unknown model {model!r}; serving "
                              f"{sorted(self.stores)}")
@@ -282,6 +288,28 @@ class MicroBatcher:
     def _execute(self, key: tuple,
                  reqs: List[Tuple[dict, Future]]) -> List[object]:
         method, model = key[0], key[1]
+        if method == "reload":
+            # Zero-downtime model refresh: runs ON the dispatcher thread,
+            # so the swap serializes with every fused batch — requests
+            # queued behind it simply observe the new store. The load
+            # itself blocks dispatch for its duration (seconds); queued
+            # requests wait, none drop.
+            if self.loader is None:
+                raise ValueError("daemon has no bundle loader configured "
+                                 "(in-process ServingServer: pass loader=)")
+            out = []
+            for r, _ in reqs:
+                self.stores[model] = self.loader(r["bundle"])
+                if model == "default":
+                    self.store = self.stores[model]
+                j = self.journals.get(model)
+                if j is not None:
+                    # the new bundle is the new ground truth; journaled
+                    # events predate it and must not replay over it
+                    j.truncate()
+                out.append({"ok": True,
+                            "n_users": self.stores[model].n_users})
+            return out
         store = self.stores[model]
         if method == "update":
             # A fused update batch must not contain the same uid twice:
@@ -357,11 +385,15 @@ class _Handler(socketserver.BaseRequestHandler):
                             "n_users": srv.store.n_users,
                             "models": {name: st.n_users for name, st
                                        in srv.stores.items()}}
-                elif method in ("predict", "rank", "update"):
+                elif method in ("predict", "rank", "update", "reload"):
                     fut = srv.batcher.submit(method, msg)
                     res = fut.result(timeout=srv.request_timeout_s)
-                    resp = ({"ok": True, "scores": res}
-                            if method != "update" else {"ok": True})
+                    if method in ("predict", "rank"):
+                        resp = {"ok": True, "scores": res}
+                    elif method == "reload":
+                        resp = res  # {"ok": True, "n_users": ...}
+                    else:
+                        resp = {"ok": True}
                 else:
                     resp = {"ok": False, "error": f"unknown method "
                                                   f"{method!r}"}
@@ -397,9 +429,10 @@ class ServingServer:
 
     def __init__(self, store, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 256, max_wait_ms: float = 2.0,
-                 request_timeout_s: float = 60.0, journal=None):
+                 request_timeout_s: float = 60.0, journal=None,
+                 loader=None):
         self.batcher = MicroBatcher(store, max_batch, max_wait_ms,
-                                    journal=journal)
+                                    journal=journal, loader=loader)
         self.stores = self.batcher.stores
         self.store = self.batcher.store
         self.request_timeout_s = request_timeout_s
@@ -511,7 +544,7 @@ def main(argv=None) -> None:
     with ServingServer(stores, host=args.host, port=args.port,
                        max_batch=args.max_batch,
                        max_wait_ms=args.max_wait_ms,
-                       journal=journals) as srv:
+                       journal=journals, loader=load) as srv:
         extra = (f" + models {sorted(set(stores) - {'default'})}"
                  if len(stores) > 1 else "")
         print(f"serving bundle {args.bundle} on {srv.host}:{srv.port} "

@@ -292,7 +292,7 @@ def test_sharded_client_empty_request_returns_arrays():
 def test_journal_roundtrip_and_torn_tail(tmp_path):
     """Write-ahead journal: full batches replay exactly; a torn last
     record (crash mid-write) is skipped, everything before it survives."""
-    from hpmn_tpu.serving.journal import UpdateJournal
+    from hpmn_tpu.serving.journal import MAGIC, UpdateJournal
 
     p = str(tmp_path / "updates.jrnl")
     j = UpdateJournal(p)
@@ -381,7 +381,7 @@ def test_daemon_crash_replays_journal(tmp_path):
 
     # Offline proof the events landed: bundle + journal replay == the
     # direct-store result (9 history events, +2 for uids 1-2, +1 for 3-5).
-    from hpmn_tpu.serving.journal import UpdateJournal
+    from hpmn_tpu.serving.journal import MAGIC, UpdateJournal
 
     back = UserMemoryStore.load_bundle(str(bundle))
     for u, i, c in UpdateJournal.replay(jrnl):
@@ -503,3 +503,44 @@ def test_multi_model_daemon():
             np.testing.assert_allclose(cl.predict(uids, cand, ccat),
                                        a.predict(uids, cand, ccat),
                                        atol=1e-6)
+
+
+def test_daemon_bundle_reload(tmp_path):
+    """Zero-downtime refresh: a reload request swaps the store on the
+    dispatcher thread; later requests observe the new model, the journal
+    truncates (the new bundle is ground truth), and serving never stops."""
+    from hpmn_tpu.serving import UserMemoryStore
+    from hpmn_tpu.serving.journal import MAGIC, UpdateJournal
+
+    _, _, a = _store(seed=0)
+    _, _, b = _store(seed=1)
+    uids = np.arange(1, 6, dtype=np.int32)
+    _seed_users(a, uids, T=9, seed=3)
+    _seed_users(b, uids, T=9, seed=4)
+    bdir = tmp_path / "b"
+    bdir.mkdir()
+    b.save_bundle(str(bdir))
+    cand = (uids * 3 % N_ITEMS).astype(np.int32)
+    ccat = (cand % N_CATS).astype(np.int32)
+
+    jpath = str(tmp_path / "wal")
+    journal = UpdateJournal(jpath)
+    loader = lambda path: UserMemoryStore.load_bundle(path)  # noqa: E731
+    with ServingServer(a, port=0, journal=journal, loader=loader) as srv:
+        with ServingClient(srv.host, srv.port) as cl:
+            cl.update(uids, cand, ccat)  # journaled against the old store
+            import os
+            assert os.path.getsize(jpath) > len(MAGIC)
+            want_old = cl.predict(uids, cand, ccat)
+            n = cl.reload(str(bdir))
+            assert n == 5
+            got = cl.predict(uids, cand, ccat)
+            np.testing.assert_allclose(got, b.predict(uids, cand, ccat),
+                                       atol=1e-6)
+            assert not np.allclose(got, want_old)
+            # truncated on reload (only the magic header remains)
+            assert os.path.getsize(jpath) == len(MAGIC)
+            # still serving: updates hit the NEW store
+            cl.update(uids, cand, ccat)
+            _, cnt = srv.batcher.stores["default"]._gather(uids)
+            np.testing.assert_array_equal(np.asarray(cnt), 10)
