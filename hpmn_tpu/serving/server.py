@@ -492,6 +492,12 @@ def main(argv=None) -> None:
                     help="serve the bundle's exported StableHLO graphs "
                          "(save_bundle(export_compiled=True)): no model "
                          "code, no startup tracing; host arena only")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile the predict path at every "
+                         "power-of-two batch bucket up to max_batch before "
+                         "accepting connections, so first requests don't "
+                         "pay jit latency (uses unknown-uid cold-start "
+                         "reads: no state is created)")
     ap.add_argument("--force_cpu", action="store_true",
                     help="run on the host CPU (tests / no-TPU machines)")
     args = ap.parse_args(argv)
@@ -538,6 +544,16 @@ def main(argv=None) -> None:
                 print(f"replayed {replayed} journaled events"
                       + (f" for model {name}" if name != "default" else ""),
                       flush=True)
+    if args.warmup:
+        top = _bucket(args.max_batch, 0)
+        for st in stores.values():
+            b = 1
+            while b <= top:
+                u = np.full((b,), -1, np.int64)  # unknown uids: no state
+                ones = np.ones((b,), np.int32)
+                st.predict(u, ones, ones)
+                b <<= 1
+        print(f"warmed predict buckets 1..{top}", flush=True)
     done = threading.Event()
     for sig in (signal.SIGINT, signal.SIGTERM):
         signal.signal(sig, lambda *_: done.set())

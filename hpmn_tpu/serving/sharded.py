@@ -76,19 +76,25 @@ class ShardedServingClient:
             out = np.zeros((0,) + tuple(empty_tail), np.float32)
         return out
 
-    def predict(self, uids, cand_items, cand_cats) -> np.ndarray:
-        return self._fan(lambda c, u, i, k: c.predict(u, i, k),
+    def predict(self, uids, cand_items, cand_cats, model=None) -> np.ndarray:
+        return self._fan(lambda c, u, i, k: c.predict(u, i, k, model=model),
                          uids, cand_items, cand_cats)
 
-    def rank(self, uids, cand_items, cand_cats) -> np.ndarray:
+    def rank(self, uids, cand_items, cand_cats, model=None) -> np.ndarray:
         ci = np.asarray(cand_items)
         tail = (ci.shape[1],) if ci.ndim == 2 else ()
-        return self._fan(lambda c, u, i, k: c.rank(u, i, k),
+        return self._fan(lambda c, u, i, k: c.rank(u, i, k, model=model),
                          uids, cand_items, cand_cats, empty_tail=tail)
 
-    def update(self, uids, item_ids, cat_ids) -> None:
-        self._fan(lambda c, u, i, k: c.update(u, i, k),
+    def update(self, uids, item_ids, cat_ids, model=None) -> None:
+        self._fan(lambda c, u, i, k: c.update(u, i, k, model=model),
                   uids, item_ids, cat_ids)
+
+    def reload(self, bundle: str, model=None) -> List[int]:
+        """Swap every shard's store for a freshly loaded bundle (zero
+        downtime per shard; shards reload independently, so a brief window
+        serves mixed versions — acceptable for CTR model refreshes)."""
+        return [c.reload(bundle, model=model) for c in self._clients]
 
     def stats(self) -> List[dict]:
         return [c.stats() for c in self._clients]

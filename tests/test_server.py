@@ -544,3 +544,18 @@ def test_daemon_bundle_reload(tmp_path):
             cl.update(uids, cand, ccat)
             _, cnt = srv.batcher.stores["default"]._gather(uids)
             np.testing.assert_array_equal(np.asarray(cnt), 10)
+
+
+def test_warmup_creates_no_users(tmp_path):
+    """--warmup pre-compiles predict buckets with unknown-uid cold-start
+    reads; it must not allocate arena rows or change any state."""
+    _, _, store = _store()
+    uids = np.arange(1, 4, dtype=np.int32)
+    _seed_users(store, uids, T=9)
+    before = store.n_users
+    for b in (1, 2, 4, 8):
+        u = np.full((b,), -1, np.int64)
+        ones = np.ones((b,), np.int32)
+        s = store.predict(u, ones, ones)
+        assert s.shape == (b,)
+    assert store.n_users == before
