@@ -89,6 +89,8 @@ def base_config() -> ml_collections.ConfigDict:
     c.train.log_dir = ""  # tensorboardX event files (SURVEY.md §5.5)
     c.train.keep_best_k = 3
     c.train.async_checkpoint = False  # overlap snapshot writes with training
+    c.train.compilation_cache_dir = ""  # persistent jit cache: restarts
+    #                                     skip the 20-40s TPU compiles
     c.train.profile_steps = 0  # >0: dump a jax.profiler trace of N steps
     c.train.debug_nans = False
     # Train steps fused into one dispatch (lax.scan over stacked batches).

@@ -492,6 +492,9 @@ def main(argv=None) -> None:
                     help="serve the bundle's exported StableHLO graphs "
                          "(save_bundle(export_compiled=True)): no model "
                          "code, no startup tracing; host arena only")
+    ap.add_argument("--compilation_cache", default="",
+                    help="persistent jit-cache dir: daemon restarts (and "
+                         "--warmup) skip recompiles")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile the predict path at every "
                          "power-of-two batch bucket up to max_batch before "
@@ -505,6 +508,9 @@ def main(argv=None) -> None:
     if args.force_cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")  # sitecustomize overrides env
+    if args.compilation_cache:
+        import jax
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
 
     from .lifelong import UserMemoryStore
 

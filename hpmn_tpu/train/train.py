@@ -178,6 +178,11 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     """Run one config end-to-end. Returns final test metrics + history."""
     if cfg.train.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if getattr(cfg.train, "compilation_cache_dir", ""):
+        # Persistent compiled-program cache: a restarted/preempted run (or
+        # the next run of the same config) skips the 20-40s TPU compiles.
+        jax.config.update("jax_compilation_cache_dir",
+                          cfg.train.compilation_cache_dir)
 
     train_arrays, val_arrays, test_arrays, spec = make_datasets(cfg)
     pidx, pcnt = jax.process_index(), jax.process_count()
