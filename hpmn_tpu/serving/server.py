@@ -30,8 +30,11 @@ of [B:5]. The pieces:
 - **Frame protocol** — length-prefixed JSON: 4-byte big-endian length +
   UTF-8 JSON object per message, both directions. Methods: ``predict``
   (uids, cand_items, cand_cats -> scores [B]), ``rank`` ([B, C] candidates
-  -> scores [B, C]), ``update`` (uids, item_ids, cat_ids; ack), ``stats``.
-  ``hpmn_tpu.serving.client.ServingClient`` is the matching client.
+  -> scores [B, C]), ``update`` (uids, item_ids, cat_ids; ack), ``stats``,
+  ``reload`` (bundle path; zero-downtime store swap). Every request may
+  carry a ``model`` field to address a named store on a multi-model
+  daemon (``--extra_bundle``). ``hpmn_tpu.serving.client.ServingClient``
+  is the matching client.
 
 Responses preserve per-request ordering guarantees *per connection* (each
 connection handler blocks on its request's future), and a client's
