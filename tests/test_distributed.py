@@ -68,6 +68,34 @@ gl, gy, gu = _merge_across_hosts(logits, labels, uids)
 assert len(gl) == 20 and len(gu) == 20, len(gl)
 print(f"proc {pid} global_auc {auc(gl, gy):.10f}")
 
+# Streaming (histogram) AUC cross-host merge: the int31-split allgather
+# must reproduce the pooled-exact estimator within bin resolution, and
+# big per-bin counts must survive the f32-canonicalizing allgather.
+from hpmn_tpu.train.metrics import StreamingAUC
+acc = StreamingAUC(1 << 14)
+acc.update(logits, labels)
+acc.merge_counts(np.zeros(1 << 14, np.int64),
+                 np.zeros(1 << 14, np.int64), 0.0, 0)
+import hpmn_tpu.train.evaluate as _ev
+pos, neg, ll, n = acc.state
+ints = np.concatenate([pos, neg, [n]])
+# inject a count ABOVE 2^24 to prove the split survives canonicalization
+ints[0] += (1 << 25)
+packed = np.stack([(ints % (1 << 31)).astype(np.int32),
+                   (ints >> 31).astype(np.int32)])
+gathered = np.asarray(multihost_utils.process_allgather(packed), np.int64)
+merged = StreamingAUC(1 << 14)
+for p in range(gathered.shape[0]):
+    row = gathered[p, 0] + (gathered[p, 1] << 31)
+    merged.merge_counts(row[:1 << 14], row[1 << 14:2 << 14], 0.0,
+                        int(row[-1]))
+assert merged.pos[0] >= 2 * (1 << 25), merged.pos[0]  # no f32 truncation
+merged.pos[0] -= 2 * (1 << 25)  # remove the probe before the metric check
+sa = merged.result()["auc"]
+ea = auc(gl, gy)
+assert abs(sa - ea) < 2e-3, (sa, ea)
+print(f"proc {pid} streaming_auc {sa:.10f}")
+
 # Full mini train+eval through the multi-host path: per-process loader
 # shards assembled into global batches (make_array_from_process_local_data),
 # per-host eval shards merged into one global metric.
@@ -84,6 +112,17 @@ cfg.train.log_every = 10**9
 res = train(cfg, log=lambda s: None)
 print(f"proc {pid} train_auc {res['test']['auc']:.10f} "
       f"n {res['test']['n']:.0f}")
+
+# Same run through the PRODUCTION streaming-eval path (histogram AUC with
+# the cross-host int31-split merge in evaluate._evaluate_streaming): the
+# bounded-memory estimator must agree with the exact one and be identical
+# on every host.
+cfg.eval_streaming_bins = 1 << 14
+res_s = train(cfg, log=lambda s: None)
+assert abs(res_s['test']['auc'] - res['test']['auc']) < 2e-3, \
+    (res_s['test']['auc'], res['test']['auc'])
+assert res_s['test']['n'] == res['test']['n']
+print(f"proc {pid} streameval_auc {res_s['test']['auc']:.10f}")
 print(f"proc {pid} OK")
 """
 
@@ -109,16 +148,26 @@ def test_two_process_mesh(tmp_path):
     assert any("proc 1 OK" in o for o in outs)
     # Both hosts computed the identical merged global AUC.
     aucs = set()
+    s_aucs = set()
     train_aucs = set()
     ns = set()
     for o in outs:
         for line in o.splitlines():
             if "global_auc" in line:
                 aucs.add(line.split()[-1])
+            if "streaming_auc" in line:
+                s_aucs.add(line.split()[-1])
             if "train_auc" in line:
                 train_aucs.add(line.split()[3])
                 ns.add(line.split()[5])
     assert len(aucs) == 1, aucs
+    assert len(s_aucs) == 1, s_aucs  # histogram merge identical on all hosts
+    se_aucs = set()
+    for o in outs:
+        for line in o.splitlines():
+            if "streameval_auc" in line:
+                se_aucs.add(line.split()[-1])
+    assert len(se_aucs) == 1, se_aucs  # production streaming path too
     # The end-to-end run reported one identical global test metric per host,
     # over the full (un-duplicated) test set.
     assert len(train_aucs) == 1, train_aucs

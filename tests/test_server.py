@@ -559,3 +559,46 @@ def test_warmup_creates_no_users(tmp_path):
         s = store.predict(u, ones, ones)
         assert s.shape == (b,)
     assert store.n_users == before
+
+
+def test_protocol_garbage_does_not_kill_daemon():
+    """Malformed wire input (random bytes, oversized length prefix, valid
+    frame with broken JSON, valid JSON with missing fields) must fail only
+    the offending connection/request — the daemon keeps serving."""
+    import socket
+    import struct
+
+    _, _, store = _store()
+    uids = np.arange(1, 4, dtype=np.int32)
+    _seed_users(store, uids, T=9)
+    cand = (uids % N_ITEMS).astype(np.int32)
+    ccat = (cand % N_CATS).astype(np.int32)
+    with ServingServer(store, port=0) as srv:
+        def attack(payload: bytes):
+            s = socket.create_connection((srv.host, srv.port), timeout=10)
+            try:
+                s.sendall(payload)
+                s.settimeout(5)
+                try:
+                    s.recv(4096)
+                except (socket.timeout, ConnectionError, OSError):
+                    pass
+            finally:
+                s.close()
+
+        rng = np.random.default_rng(0)
+        attack(bytes(rng.integers(0, 256, 64, dtype=np.uint8)))  # noise
+        attack(struct.pack(">I", 1 << 30))  # absurd length prefix
+        body = b"this is not json"
+        attack(struct.pack(">I", len(body)) + body)  # framed non-JSON
+        body = b'{"id": 1, "method": "predict"}'  # missing fields
+        attack(struct.pack(">I", len(body)) + body)
+        body = b'{"id": 1, "method": "update", "uids": [1], ' \
+               b'"item_ids": "nope", "cat_ids": [2]}'  # wrong types
+        attack(struct.pack(">I", len(body)) + body)
+
+        # the daemon still answers a well-formed client correctly
+        with ServingClient(srv.host, srv.port) as cl:
+            got = cl.predict(uids, cand, ccat)
+        np.testing.assert_allclose(got, store.predict(uids, cand, ccat),
+                                   atol=1e-6)
