@@ -81,6 +81,8 @@ def base_config() -> ml_collections.ConfigDict:
     c.train.weight_decay = 0.0  # decoupled (adamw); loss.l2_weight is the
     #                             penalty-term alternative
     c.train.grad_accum = 1  # micro-batches per param update (MultiSteps)
+    c.train.ema_decay = 0.0  # >0: keep a Polyak/EMA shadow of the params
+    #   in the opt state and evaluate/export with it (train.with_ema)
     c.train.max_steps = 2000
     c.train.eval_every = 200
     c.train.early_stop_patience = 5  # evals without val-AUC improvement

@@ -47,6 +47,7 @@ def evaluate(eval_step: Callable, params, loader: DataLoader,
         "auc": M.auc(logits, labels),
         "gauc": M.gauc(logits, labels, uids),
         "log_loss": M.log_loss(logits, labels),
+        "calib": M.calibration(logits, labels),
         "n": float(len(labels)),
     }
 

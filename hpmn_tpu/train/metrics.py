@@ -91,9 +91,32 @@ class StreamingAUC:
             wins = float((self.pos * neg_below).sum())
             ties = 0.5 * float((self.pos * self.neg).sum())
             a = (wins + ties) / (n_pos * n_neg)
+        # Calibration from the histogram itself (bin-center probabilities):
+        # integer-count arithmetic, so chunked/merged accumulators report
+        # the identical value; error is O(1/n_bins) like the AUC.
+        if n_pos > 0:
+            centers = (np.arange(len(self.pos)) + 0.5) / len(self.pos)
+            calib = float(((self.pos + self.neg) * centers).sum() / n_pos)
+        else:
+            calib = float("nan")
         return {"auc": a,
                 "log_loss": self._ll_sum / max(self._n, 1),
+                "calib": calib,
                 "n": float(self._n)}
+
+
+def calibration(scores_logits: np.ndarray, labels: np.ndarray) -> float:
+    """Calibration ratio: mean predicted CTR / observed CTR (pCTR/CTR; 1.0 =
+    perfectly calibrated, the production-CTR companion to AUC — AUC is
+    rank-only and blind to a global probability bias that would mis-price
+    every downstream bid). nan when the stream has no positives."""
+    x = np.asarray(scores_logits, np.float64).ravel()
+    y = np.asarray(labels, np.float64).ravel()
+    n_pos = float(y.sum())
+    if n_pos == 0 or x.size == 0:
+        return float("nan")
+    p = 1.0 / (1.0 + np.exp(-x))
+    return float(p.sum() / n_pos)
 
 
 def log_loss(scores_logits: np.ndarray, labels: np.ndarray) -> float:

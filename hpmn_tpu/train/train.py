@@ -10,7 +10,7 @@ datasets generated synthetically when no preprocessed real data is supplied
 from __future__ import annotations
 
 import time
-from typing import Callable, Dict
+from typing import Callable, Dict, NamedTuple
 
 import jax
 import optax
@@ -44,6 +44,54 @@ def make_datasets(cfg):
                else make_ctr_dataset)
         arrays = gen(spec, cfg.n_examples, seed=cfg.seed)
     return (*train_val_test_split(arrays), spec)
+
+
+class EmaState(NamedTuple):
+    """Optimizer-state wrapper carrying a Polyak/EMA shadow of the params."""
+    inner: optax.OptState
+    ema: dict
+
+
+def with_ema(tx: optax.GradientTransformation,
+             decay: float) -> optax.GradientTransformation:
+    """Wrap ``tx`` so its state additionally tracks an exponential moving
+    average of the POST-update params: ``ema <- d*ema + (1-d)*params'``.
+
+    Evaluating/serving with the averaged params is standard production-CTR
+    practice (smooths the last-minibatch noise out of the decision surface).
+    The EMA initializes AT the initial params, so no debias term is needed.
+    Living inside the optimizer state, it flows through every execution
+    path unchanged (single-device, GSPMD, shard_map, SP) and through
+    checkpoints; the sharding rules (path contains "embedding" and ndim==2
+    -> row-sharded) see the same param-tree paths under ``.ema``."""
+
+    def init(params):
+        return EmaState(tx.init(params), params)
+
+    def update(updates, state, params=None, **extra):
+        updates, inner = tx.update(updates, state.inner, params, **extra)
+        new_p = optax.apply_updates(params, updates)
+        ema = jax.tree.map(lambda e, p: decay * e + (1.0 - decay) * p,
+                           state.ema, new_p)
+        return updates, EmaState(inner, ema)
+
+    return optax.GradientTransformation(init, update)
+
+
+def get_ema_params(opt_state):
+    """The EMA param tree inside a (possibly wrapped) opt state, or None.
+
+    Walks tuple-shaped wrappers (optax chains, MultiSteps, and NamedTuple
+    states are all tuples) for the :class:`EmaState` that ``with_ema``
+    installed."""
+    if isinstance(opt_state, EmaState):
+        return opt_state.ema
+    if isinstance(opt_state, tuple):
+        for child in opt_state:
+            found = get_ema_params(child)
+            if found is not None:
+                return found
+    return None
 
 
 def make_optimizer(cfg) -> optax.GradientTransformation:
@@ -86,6 +134,11 @@ def make_optimizer(cfg) -> optax.GradientTransformation:
     base = (optax.adamw(lr, weight_decay=wd) if wd > 0 else optax.adam(lr))
     if clip > 0:
         base = optax.chain(optax.clip_by_global_norm(clip), base)
+    ema_decay = getattr(t, "ema_decay", 0.0)
+    if ema_decay > 0:
+        # Inside MultiSteps: the EMA must only advance when params actually
+        # move (MultiSteps skips the inner update on accumulation steps).
+        base = with_ema(base, ema_decay)
     if accum > 1:
         base = optax.MultiSteps(base, every_k_schedule=accum)
     return base
@@ -197,6 +250,16 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                              process_index=pidx, process_count=pcnt)
 
     tx = make_optimizer(cfg)
+    ema_on = getattr(cfg.train, "ema_decay", 0.0) > 0
+
+    def params_for_eval(params, opt_state):
+        """Evaluate with the Polyak-averaged params when EMA is enabled
+        (the weights that would be served); raw params otherwise."""
+        if not ema_on:
+            return params
+        ema = get_ema_params(opt_state)
+        return ema if ema is not None else params
+
     use_mesh = (cfg.mesh.model_parallel > 1 or len(jax.devices()) > 1) \
         and cfg.mesh.enable and lookup_fn is None
     if use_mesh and cfg.mesh.seq_parallel > 1 and \
@@ -374,10 +437,12 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 t_last, n_since = time.time(), 0
             if step % cfg.train.eval_every < k or step >= cfg.train.max_steps:
                 t_pause = time.time()
-                val = run_evaluate(eval_step, params, val_loader,
-                                   cfg.eval_streaming_bins)
+                val = run_evaluate(eval_step, params_for_eval(params,
+                                                              opt_state),
+                                   val_loader, cfg.eval_streaming_bins)
                 log(f"step {step} VAL auc {val['auc']:.4f} "
-                    f"gauc {val['gauc']:.4f} log_loss {val['log_loss']:.4f}")
+                    f"gauc {val['gauc']:.4f} log_loss {val['log_loss']:.4f} "
+                    f"calib {val['calib']:.3f}")
                 if writer is not None:
                     writer.add_scalar("val/auc", val["auc"], step)
                     writer.add_scalar("val/log_loss", val["log_loss"], step)
@@ -419,7 +484,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             writer.close()
         mngr.close()
         nan = float("nan")
-        return {"test": {"auc": nan, "gauc": nan, "log_loss": nan, "n": 0.0},
+        return {"test": {"auc": nan, "gauc": nan, "log_loss": nan,
+                         "calib": nan, "n": 0.0},
                 "best_val_auc": best_auc, "best_step": best_step,
                 "history": history, "params": params, "preempted": True,
                 "goodput": goodput}
@@ -430,10 +496,11 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             "params": params, "opt_state": opt_state,
             "loader": train_loader.state_dict(), "step": 0})
         params = restored["params"]
-    test = run_evaluate(eval_step, params, test_loader,
-                        cfg.eval_streaming_bins)
+        opt_state = restored["opt_state"]  # carries the EMA shadow
+    test = run_evaluate(eval_step, params_for_eval(params, opt_state),
+                        test_loader, cfg.eval_streaming_bins)
     log(f"TEST auc {test['auc']:.4f} gauc {test['gauc']:.4f} "
-        f"log_loss {test['log_loss']:.4f}")
+        f"log_loss {test['log_loss']:.4f} calib {test['calib']:.3f}")
     if writer is not None:
         writer.add_scalar("test/auc", test["auc"], step)
         writer.add_scalar("test/log_loss", test["log_loss"], step)
@@ -441,7 +508,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     if mngr is not None:
         mngr.close()
     return {"test": test, "best_val_auc": best_auc, "best_step": best_step,
-            "history": history, "params": params, "goodput": goodput}
+            "history": history, "params": params, "goodput": goodput,
+            "ema_params": get_ema_params(opt_state) if ema_on else None}
 
 
 def apply_overrides(cfg, kvs):

@@ -157,6 +157,35 @@ def test_train_resume_continues_from_restored_step(tmp_path, monkeypatch):
     assert steps == expected, (steps, resumed)
 
 
+def test_resume_with_ema_opt_state(tmp_path):
+    """EMA enabled: the EmaState inside the opt state must round-trip
+    through orbax save/restore (resume template built from the same tx),
+    and the resumed run's evals keep using the restored shadow."""
+    import numpy as np
+
+    from hpmn_tpu.configs import get_config
+    from hpmn_tpu.train.train import train
+
+    def cfg_for(max_steps):
+        cfg = get_config("amazon_hpmn")
+        cfg.n_examples = 400
+        cfg.model.hpmn_layers = 1
+        cfg.train.batch_size = 16
+        cfg.train.max_steps = max_steps
+        cfg.train.eval_every = 3
+        cfg.train.log_every = 1000
+        cfg.train.ema_decay = 0.9
+        cfg.train.ckpt_dir = str(tmp_path / "ckpt")
+        return cfg
+
+    train(cfg_for(6), log=lambda s: None)
+    logs = []
+    res = train(cfg_for(12), log=logs.append)
+    assert any("resumed" in s for s in logs), logs[:3]
+    assert res["ema_params"] is not None
+    assert np.isfinite(res["test"]["log_loss"])
+
+
 def test_best_k_by_val_auc(setup, tmp_path):
     cfg, arrays, params, tx = setup
     opt = tx.init(params)

@@ -98,6 +98,28 @@ def test_streaming_auc_matches_exact():
     assert np.isnan(empty.result()["auc"])
 
 
+def test_calibration_ratio():
+    """calibration = mean pCTR / observed CTR: ~1.0 when labels are sampled
+    from the predicted probabilities, nan without positives; the streaming
+    histogram estimator agrees to O(1/n_bins)."""
+    from hpmn_tpu.train.metrics import StreamingAUC, calibration
+
+    rng = np.random.default_rng(4)
+    n = 50000
+    p = rng.uniform(0.05, 0.95, n)
+    y = (rng.uniform(size=n) < p).astype(np.float64)
+    logits = np.log(p / (1 - p))
+    c = calibration(logits, y)
+    np.testing.assert_allclose(c, p.sum() / y.sum(), rtol=1e-12)
+    assert 0.97 < c < 1.03  # sampled labels -> calibrated scores
+    assert np.isnan(calibration(logits, np.zeros(n)))
+    # a global logit bias shows up as miscalibration AUC cannot see
+    assert calibration(logits + 1.0, y) > 1.2
+    acc = StreamingAUC(1 << 14)
+    acc.update(logits, y)
+    np.testing.assert_allclose(acc.result()["calib"], c, atol=5e-3)
+
+
 def test_streaming_eval_through_driver():
     """eval_streaming_bins routes evaluate() through the bounded-memory
     estimator; AUC tracks the exact path, GAUC is nan by contract."""

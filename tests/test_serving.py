@@ -417,6 +417,7 @@ def test_export_bundle_cli(tmp_path):
     cfg.train.eval_every = 15
     cfg.train.log_every = 10 ** 9
     cfg.mesh.enable = False
+    cfg.train.ema_decay = 0.9  # so --ema export has a shadow to read
     cfg.train.ckpt_dir = str(tmp_path / "ckpt")
     train(cfg, log=lambda s: None)
 
@@ -443,6 +444,26 @@ def test_export_bundle_cli(tmp_path):
     assert ((scores > 0) & (scores < 1)).all()
     _, cnt = server._gather(uids)
     np.testing.assert_array_equal(np.asarray(cnt), 40)
+
+    # --ema: export the Polyak-averaged weights from the same checkpoint.
+    out = subprocess.run(
+        [_sys.executable, "tools/export_bundle.py",
+         "--ckpt_dir", str(tmp_path / "ckpt"), "--config", "amazon_hpmn",
+         "--set", "train.ema_decay=0.9",
+         "--out", str(tmp_path / "bundle_ema"), "--ema", "--force_cpu"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "ema=True" in out.stdout
+    ema_server = UserMemoryStore.load_bundle(str(tmp_path / "bundle_ema"))
+    from hpmn_tpu.train.checkpoint import CheckpointManager
+    mngr = CheckpointManager(str(tmp_path / "ckpt"))
+    raw = mngr.restore(mngr.best_step() or mngr.latest_step())
+    mngr.close()
+    item_raw = np.asarray(raw["params"]["embedding"]["item"])
+    item_ema = np.asarray(ema_server.params["embedding"]["item"])
+    assert item_raw.shape == item_ema.shape
+    assert np.abs(item_raw - item_ema).max() > 0  # a distinct average
 
 
 @pytest.mark.parametrize("device_resident", [False, True])

@@ -231,6 +231,113 @@ def test_optimizer_extras_schedule_clip_accum():
                                atol=1e-6)
 
 
+def test_ema_tracks_polyak_average():
+    """with_ema: the opt state carries ema <- d*ema + (1-d)*params' over the
+    POST-update params, initialized at the initial params; get_ema_params
+    finds it through chain wrappers; under MultiSteps the EMA only advances
+    when params actually move."""
+    import jax.numpy as jnp
+    import optax
+
+    from hpmn_tpu.train.train import get_ema_params, make_optimizer
+
+    cfg = _small_cfg(**{"train.ema_decay": 0.5})
+    tx = make_optimizer(cfg)
+    txo = optax.adam(cfg.train.lr)
+    p = {"w": jnp.ones((3,))}
+    po = {"w": jnp.ones((3,))}
+    s, so = tx.init(p), txo.init(po)
+    ema_ref = np.ones(3)
+    for v in (1.0, -2.0, 0.5):
+        g = {"w": v * jnp.ones((3,))}
+        u, s = tx.update(g, s, p)
+        p = optax.apply_updates(p, u)
+        uo, so = txo.update(g, so, po)
+        po = optax.apply_updates(po, uo)
+        ema_ref = 0.5 * ema_ref + 0.5 * np.asarray(po["w"])
+        np.testing.assert_allclose(np.asarray(p["w"]), np.asarray(po["w"]),
+                                   atol=1e-7)  # updates == plain adam
+        np.testing.assert_allclose(np.asarray(get_ema_params(s)["w"]),
+                                   ema_ref, atol=1e-7)
+
+    # Under MultiSteps (grad_accum), accumulation-only steps must not move
+    # the EMA (params did not move).
+    cfg = _small_cfg(**{"train.ema_decay": 0.5, "train.grad_accum": 2})
+    tx = make_optimizer(cfg)
+    p = {"w": jnp.ones((3,))}
+    s = tx.init(p)
+    e0 = np.asarray(get_ema_params(s)["w"]).copy()
+    g = {"w": jnp.ones((3,))}
+    u, s = tx.update(g, s, p)  # micro-step 1: accumulate only
+    np.testing.assert_array_equal(np.asarray(get_ema_params(s)["w"]), e0)
+    p = optax.apply_updates(p, u)
+    u, s = tx.update(g, s, p)  # micro-step 2: params move, EMA advances
+    assert np.abs(np.asarray(get_ema_params(s)["w"]) - e0).max() > 0
+
+
+def test_train_driver_with_ema():
+    """End-to-end driver with train.ema_decay > 0: evals run on the EMA
+    shadow, the result exposes ema_params, structures match."""
+    import jax
+
+    cfg = _small_cfg(**{"train.ema_decay": 0.9, "train.max_steps": 40,
+                        "train.eval_every": 20, "mesh.enable": False})
+    res = train(cfg, log=lambda s: None)
+    assert res["ema_params"] is not None
+    assert (jax.tree_util.tree_structure(res["ema_params"])
+            == jax.tree_util.tree_structure(res["params"]))
+    diffs = jax.tree.map(lambda a, b: float(np.abs(np.asarray(a)
+                                                   - np.asarray(b)).max()),
+                         res["ema_params"], res["params"])
+    assert max(jax.tree.leaves(diffs)) > 0  # a genuinely distinct average
+    assert 0.0 < res["test"]["log_loss"] < 2.0
+    assert np.isfinite(res["test"]["calib"])
+
+
+def test_ema_sharded_step_matches_single_device():
+    """EmaState leaves inherit the param sharding rules (path contains
+    "embedding" under .ema): a GSPMD sharded step with EMA enabled produces
+    the single-device step's EMA tree."""
+    import jax
+    import optax
+
+    from hpmn_tpu.data.schema import dummy_batch, to_device_arrays
+    from hpmn_tpu.models import init_model, loss_fn
+    from hpmn_tpu.parallel import (init_sharded_model, make_mesh,
+                                   make_sharded_steps, pad_vocab,
+                                   param_shardings, shard_batch)
+    from hpmn_tpu.train.train import get_ema_params, with_ema
+
+    cfg = _small_cfg()
+    cfg.model.hpmn_layers = 2
+    cfg.train.steps_per_dispatch = 1
+    cfg.mesh.model_parallel = 2
+    cfg.mesh.embedding_mode = "psum"
+    mesh = make_mesh(model_parallel=2)
+    n_items, n_cats = pad_vocab(128, 2), pad_vocab(32, 2)
+    batch = to_device_arrays(dummy_batch(8, 16, n_items, n_cats, seed=0))
+    # SGD (not Adam) for the equality gate: Adam's first step is ~sign(g)*lr,
+    # so reduction-order noise on near-zero grads flips update signs.
+    tx = with_ema(optax.sgd(1e-2), 0.9)
+
+    p_ref = init_model(jax.random.key(0), cfg, n_items, n_cats)
+    s_ref = tx.init(p_ref)
+    (_, _), g = jax.value_and_grad(loss_fn, has_aux=True)(p_ref, cfg, batch)
+    u, s_ref = tx.update(g, s_ref, p_ref)
+    p_ref = optax.apply_updates(p_ref, u)
+
+    params = init_sharded_model(jax.random.key(0), cfg, n_items, n_cats, mesh)
+    opt_shardings = param_shardings(mesh, jax.eval_shape(tx.init, params))
+    opt = jax.jit(tx.init, out_shardings=opt_shardings)(params)
+    jit_train, _ = make_sharded_steps(cfg, tx, mesh)
+    p2, s2, _ = jit_train(params, opt)(params, opt, shard_batch(mesh, batch))
+    for a, b in zip(jax.tree.leaves(get_ema_params(s2)),
+                    jax.tree.leaves(get_ema_params(s_ref))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_optimizer_defaults_keep_plain_adam_state():
     """Default config must produce optax.adam's exact opt-state structure
     (old checkpoints restore against it)."""

@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--step", type=int, default=None)
     ap.add_argument("--histories", default="")
     ap.add_argument("--quantize", action="store_true")
+    ap.add_argument("--ema", action="store_true",
+                    help="serve the Polyak/EMA-averaged weights from the "
+                         "checkpoint's opt state (requires the run to have "
+                         "trained with train.ema_decay > 0; pass the same "
+                         "--set train.ema_decay=... used in training)")
     ap.add_argument("--export_compiled", action="store_true",
                     help="also serialize the update/predict/rank request "
                          "functions as multi-platform StableHLO so the "
@@ -63,20 +68,36 @@ def main(argv=None):
 
     # Pass 1 (untyped) reads the vocab sizes; pass 2 restores against a
     # same-config init skeleton so namedtuple/None leaves come back typed.
+    # The opt state's template is the RAW restored structure — serving
+    # doesn't care which optimizer (or wrappers like EMA/MultiSteps) the
+    # run trained with, so exporting must not require reconstructing it —
+    # EXCEPT under --ema, which reads the typed EmaState out of it and
+    # therefore needs the matching optimizer config.
     raw = mngr.restore(step)
     emb = raw["params"]["embedding"]
     n_items, n_cats = emb["item"].shape[0], emb["cat"].shape[0]
     n_users_emb = emb["user"].shape[0] if "user" in emb else 0
     skeleton = init_model(jax.random.key(0), cfg, n_items, n_cats,
                           n_users=n_users_emb)
-    tx = make_optimizer(cfg)
+    opt_template = (make_optimizer(cfg).init(skeleton) if args.ema
+                    else raw["opt_state"])
     state = mngr.restore(step, template={
-        "params": skeleton, "opt_state": tx.init(skeleton),
+        "params": skeleton, "opt_state": opt_template,
         "loader": {"epoch": 0, "step": 0, "seed": 0, "global_batch": 0},
         "step": 0})
     mngr.close()
 
-    store = UserMemoryStore(cfg, state["params"])
+    serve_params = state["params"]
+    if args.ema:
+        from hpmn_tpu.train.train import get_ema_params
+
+        serve_params = get_ema_params(state["opt_state"])
+        if serve_params is None:
+            sys.exit("--ema: checkpoint's opt state carries no EMA shadow "
+                     "(was the run trained with train.ema_decay > 0? pass "
+                     "the same --set train.ema_decay=...)")
+
+    store = UserMemoryStore(cfg, serve_params)
     if args.histories:
         z = np.load(args.histories)
         store.ingest_histories(z["uids"], z["item_seqs"], z["cat_seqs"],
@@ -88,7 +109,7 @@ def main(argv=None):
                       export_platforms=tuple(args.platforms.split(",")))
     print(f"exported step {step} -> {args.out} "
           f"(n_users={store.n_users}, quantized={args.quantize}, "
-          f"aot={args.export_compiled})")
+          f"ema={args.ema}, aot={args.export_compiled})")
 
 
 if __name__ == "__main__":
