@@ -21,7 +21,7 @@ def base_config() -> ml_collections.ConfigDict:
     c.data_dir = ""  # if set, load preprocessed real arrays from here
 
     c.model = ml_collections.ConfigDict()
-    c.model.name = "hpmn"  # hpmn|gru4rec|dien|rum|dnn|lstm|caser|shan|svdpp
+    c.model.name = "hpmn"  # hpmn|gru4rec|dien|rum|dnn|lstm|caser|shan|svdpp|bst
     c.model.emb_dim = 16  # per id field; behavior emb = 2*emb_dim
     c.model.mem_dim = 32  # GRU memory/hidden width
     c.model.dtype = "float32"  # compute dtype for the towers/scan
@@ -59,6 +59,11 @@ def base_config() -> ml_collections.ConfigDict:
     c.model.caser_hfilters = 4
     c.model.caser_vfilters = 4
     c.model.shan_recent = 10  # SHAN short-term window length
+    # BST (Behavior Sequence Transformer) knobs: post-LN blocks over the
+    # [behaviors; target] sequence; heads must divide 2*emb_dim.
+    c.model.bst_blocks = 1
+    c.model.bst_heads = 2
+    c.model.bst_ffn_mult = 4
     # Optional user-id embedding into the tower (SURVEY.md §2.1 tower row:
     # [read/state; target-emb (; user-emb)]); adds a row-shardable
     # [n_users, emb_dim] table.

@@ -1,4 +1,6 @@
-"""The paper's remaining comparison models: DNN, LSTM, Caser, SHAN, SVD++.
+"""The paper's remaining comparison models — plus BST.
+
+DNN, LSTM, Caser, SHAN, SVD++ and a BST-style Transformer.
 
 Reference equivalent: SURVEY.md §2.1 "Other paper baselines" ([P §5.1.3],
 [B:6-12] — compared in the paper; presence in the code release is
@@ -22,6 +24,16 @@ q [B,d]) -> state [B, d_state], consumed by the shared PReLU tower.
   with the q.(p_u + implicit) interaction delegated to the shared tower.
   Distinct from DNN both in parameters (a [n_users, d] latent table) and in
   normalization (1/sqrt|N| vs 1/|N| mean pooling).
+- BST: Behavior Sequence Transformer (Chen et al. 2019, Alibaba — the
+  production successor family to the paper's comparison set, included as an
+  extra model family beyond reference scope). The target item is appended
+  as the final sequence position, learned positional embeddings are added,
+  and N post-LN Transformer blocks (multi-head self-attention + LeakyReLU
+  FFN, per the paper) run over the [T+1]-length sequence; the state is the
+  target position's output. Attention is O(T^2) memory — fine at the
+  paper's short sequences and Amazon/Taobao lengths; for lifelong T the
+  HPMN hierarchy remains the intended long-context mechanism
+  (ARCHITECTURE.md §1). Self-attention batches into large MXU matmuls.
 """
 
 from __future__ import annotations
@@ -149,6 +161,71 @@ def _svdpp_encode(p, x, mask, uid):
     return jnp.concatenate([p_u, implicit], axis=-1)
 
 
+# ----------------------------------------------------------------- BST ----
+
+def _layer_norm(p, x):
+    mu = jnp.mean(x, -1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), -1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * p["g"] + p["b"]
+
+
+def _bst_init(key, cfg, d_in, dtype):
+    from ..data.synthetic import SPECS
+
+    T_max = SPECS[cfg.dataset].seq_len
+    d, ffn = d_in, cfg.model.bst_ffn_mult * d_in
+    kp, *kb = jax.random.split(key, 1 + cfg.model.bst_blocks)
+
+    def dense(k, din, dout):
+        s = (6.0 / (din + dout)) ** 0.5
+        return jax.random.uniform(k, (din, dout), dtype, -s, s)
+
+    def block(k):
+        ks = jax.random.split(k, 6)
+        return {
+            "wq": dense(ks[0], d, d), "wk": dense(ks[1], d, d),
+            "wv": dense(ks[2], d, d), "wo": dense(ks[3], d, d),
+            "ln1": {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+            "ln2": {"g": jnp.ones((d,), dtype), "b": jnp.zeros((d,), dtype)},
+            "w1": dense(ks[4], d, ffn), "b1": jnp.zeros((ffn,), dtype),
+            "w2": dense(ks[5], ffn, d), "b2": jnp.zeros((d,), dtype),
+        }
+
+    return {"pos": jax.random.normal(kp, (T_max + 1, d), dtype) * d ** -0.5,
+            "blocks": [block(k) for k in kb]}
+
+
+def _bst_block(blk, h, bias, heads):
+    B, S, d = h.shape
+    dh = d // heads
+
+    def split(x):  # [B, S, d] -> [B, heads, S, dh]
+        return x.reshape(B, S, heads, dh).transpose(0, 2, 1, 3)
+
+    scores = jnp.einsum("bhsd,bhtd->bhst", split(h @ blk["wq"]),
+                        split(h @ blk["wk"])) * dh ** -0.5 + bias
+    attn = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhst,bhtd->bhsd", attn, split(h @ blk["wv"]))
+    a = ctx.transpose(0, 2, 1, 3).reshape(B, S, d) @ blk["wo"]
+    h = _layer_norm(blk["ln1"], h + a)
+    f = jax.nn.leaky_relu(h @ blk["w1"] + blk["b1"]) @ blk["w2"] + blk["b2"]
+    return _layer_norm(blk["ln2"], h + f)
+
+
+def _bst_encode(p, x, mask, q, heads):
+    B, T, d = x.shape
+    h = jnp.concatenate([x, q[:, None, :]], axis=1) + p["pos"][None, :T + 1]
+    # Padded positions are masked as attention KEYS (the appended target,
+    # always valid, carries an explicit 1); padded queries produce garbage
+    # rows that nothing downstream reads — only the target position exits.
+    kmask = jnp.concatenate(
+        [mask, jnp.ones_like(mask[:, :1])], axis=1)  # [B, T+1]
+    bias = (1.0 - kmask)[:, None, None, :] * jnp.asarray(-1e9, h.dtype)
+    for blk in p["blocks"]:
+        h = _bst_block(blk, h, bias, heads)
+    return h[:, -1, :]
+
+
 # ------------------------------------------------------------ dispatch ----
 
 def init_encoder(key: jax.Array, name: str, cfg, d_in: int,
@@ -166,6 +243,12 @@ def init_encoder(key: jax.Array, name: str, cfg, d_in: int,
         return p, n_h + cfg.model.caser_vfilters * d_in
     if name == "shan":
         return _shan_init(key, cfg, d_in, dtype), d_in
+    if name == "bst":
+        if d_in % cfg.model.bst_heads:
+            raise ValueError(
+                f"bst_heads={cfg.model.bst_heads} must divide the behavior "
+                f"embedding width {d_in}")
+        return _bst_init(key, cfg, d_in, dtype), d_in
     raise ValueError(f"unknown encoder {name!r}")
 
 
@@ -182,4 +265,6 @@ def encode(params: Dict, name: str, cfg, x: jax.Array, mask: jax.Array,
     if name == "shan":
         return _shan_encode(params, x, mask, q,
                             recent=cfg.model.shan_recent)
+    if name == "bst":
+        return _bst_encode(params, x, mask, q, heads=cfg.model.bst_heads)
     raise ValueError(f"unknown encoder {name!r}")

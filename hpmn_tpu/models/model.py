@@ -30,7 +30,7 @@ from .readout import attention_readout, init_readout
 from .tower import apply_tower, init_tower
 
 ENCODERS = ("hpmn", "gru4rec", "dien", "rum", "dnn", "lstm", "caser", "shan",
-            "svdpp")
+            "svdpp", "bst")
 
 
 def _dtype(cfg):

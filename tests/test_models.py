@@ -104,3 +104,35 @@ def test_dien_aux_loss_changes_loss(batch):
     l2, m2 = loss_fn(params, cfg, batch)
     assert "aux_loss" in m1 and float(m1["aux_loss"]) > 0
     assert float(l1) != float(l2)
+
+
+def test_bst_padding_invariance(batch):
+    """BST must mask padded positions out of attention: perturbing the item
+    ids at masked positions cannot change the logits (the appended target
+    position is the only row that exits the encoder)."""
+    cfg = get_config("amazon_hpmn")
+    cfg.model.name = "bst"
+    params = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+    _, m1 = loss_fn(params, cfg, batch)
+
+    mask = np.asarray(batch.seq_mask)
+    item = np.asarray(batch.item_seq).copy()
+    assert (mask == 0).any(), "fixture must contain padded positions"
+    item[mask == 0] = 7  # arbitrary non-pad id at padded slots
+    import dataclasses
+    batch2 = to_device_arrays(dataclasses.replace(
+        batch, item_seq=item, cat_seq=(item % N_CATS).astype(np.int32)))
+    _, m2 = loss_fn(params, cfg, batch2)
+    np.testing.assert_allclose(np.asarray(m1["logits"]),
+                               np.asarray(m2["logits"]), atol=1e-5)
+
+
+def test_bst_blocks_config(batch):
+    cfg = get_config("amazon_hpmn")
+    cfg.model.name = "bst"
+    cfg.model.bst_blocks = 2
+    params = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+    assert len(params["encoder"]["blocks"]) == 2
+    cfg.model.bst_heads = 5  # does not divide 2*emb_dim=32
+    with pytest.raises(ValueError):
+        init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)

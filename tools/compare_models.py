@@ -15,7 +15,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-DEFAULT_MODELS = "hpmn,gru4rec,dien,rum,dnn,lstm,caser,shan"
+DEFAULT_MODELS = "hpmn,gru4rec,dien,rum,dnn,lstm,caser,shan,svdpp,bst"
 
 
 def main():
