@@ -64,6 +64,11 @@ def base_config() -> ml_collections.ConfigDict:
     c.model.bst_blocks = 1
     c.model.bst_heads = 2
     c.model.bst_ffn_mult = 4
+    # >0: online-softmax attention scanned over key chunks of this size —
+    # O(S*chunk) peak memory instead of the dense O(S^2) score matrix
+    # (lifelong T: the dense [B,h,T,T] scores for T=1000, B=512 would be
+    # ~4 GB). 0 = dense. Both paths are equivalence-tested.
+    c.model.bst_attn_chunk = 0
     # Optional user-id embedding into the tower (SURVEY.md §2.1 tower row:
     # [read/state; target-emb (; user-emb)]); adds a row-shardable
     # [n_users, emb_dim] table.

@@ -195,24 +195,66 @@ def _bst_init(key, cfg, d_in, dtype):
             "blocks": [block(k) for k in kb]}
 
 
-def _bst_block(blk, h, bias, heads):
+def _chunked_attention(qh, kh, vh, kbias, chunk):
+    """Online-softmax attention scanned over key chunks: peak activation
+    O(S*chunk) per (batch, head) instead of the dense O(S^2) score matrix.
+    At head_dim 16 the op is HBM-bandwidth-bound, so an XLA-level scan
+    (which the compiler fuses) is the TPU-first realization — a Pallas
+    flash kernel would mostly multiply lane padding. Equivalence with the
+    dense path is tested (tests/test_models.py)."""
+    B, H, S, dh = qh.shape
+    nk = -(-S // chunk)
+    pad = nk * chunk - S
+    kh = jnp.pad(kh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    vh = jnp.pad(vh, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    kbias = jnp.pad(kbias, ((0, 0), (0, pad)),
+                    constant_values=jnp.asarray(-1e9, kbias.dtype))
+    ks = jnp.moveaxis(kh.reshape(B, H, nk, chunk, dh), 2, 0)
+    vs = jnp.moveaxis(vh.reshape(B, H, nk, chunk, dh), 2, 0)
+    bs = jnp.moveaxis(kbias.reshape(B, nk, chunk), 1, 0)  # [nk, B, chunk]
+    neg = jnp.asarray(-1e30, qh.dtype)
+
+    def kv_step(carry, kvc):
+        m, l, acc = carry
+        kc, vc, bc = kvc
+        s = jnp.einsum("bhsd,bhtd->bhst", qh, kc) * dh ** -0.5 \
+            + bc[:, None, None, :]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        p = jnp.exp(s - m_new[..., None])
+        corr = jnp.exp(m - m_new)
+        l = l * corr + jnp.sum(p, axis=-1)
+        acc = acc * corr[..., None] + jnp.einsum("bhst,bhtd->bhsd", p, vc)
+        return (m_new, l, acc), None
+
+    init = (jnp.full((B, H, S), neg, qh.dtype),
+            jnp.zeros((B, H, S), qh.dtype),
+            jnp.zeros((B, H, S, dh), qh.dtype))
+    (m, l, acc), _ = jax.lax.scan(kv_step, init, (ks, vs, bs))
+    return acc / l[..., None]
+
+
+def _bst_block(blk, h, kbias, heads, attn_chunk):
     B, S, d = h.shape
     dh = d // heads
 
     def split(x):  # [B, S, d] -> [B, heads, S, dh]
         return x.reshape(B, S, heads, dh).transpose(0, 2, 1, 3)
 
-    scores = jnp.einsum("bhsd,bhtd->bhst", split(h @ blk["wq"]),
-                        split(h @ blk["wk"])) * dh ** -0.5 + bias
-    attn = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bhst,bhtd->bhsd", attn, split(h @ blk["wv"]))
+    qh, kh, vh = split(h @ blk["wq"]), split(h @ blk["wk"]), split(h @ blk["wv"])
+    if attn_chunk:
+        ctx = _chunked_attention(qh, kh, vh, kbias, attn_chunk)
+    else:
+        scores = jnp.einsum("bhsd,bhtd->bhst", qh, kh) * dh ** -0.5 \
+            + kbias[:, None, None, :]
+        ctx = jnp.einsum("bhst,bhtd->bhsd",
+                         jax.nn.softmax(scores, axis=-1), vh)
     a = ctx.transpose(0, 2, 1, 3).reshape(B, S, d) @ blk["wo"]
     h = _layer_norm(blk["ln1"], h + a)
     f = jax.nn.leaky_relu(h @ blk["w1"] + blk["b1"]) @ blk["w2"] + blk["b2"]
     return _layer_norm(blk["ln2"], h + f)
 
 
-def _bst_encode(p, x, mask, q, heads):
+def _bst_encode(p, x, mask, q, heads, attn_chunk=0):
     B, T, d = x.shape
     h = jnp.concatenate([x, q[:, None, :]], axis=1) + p["pos"][None, :T + 1]
     # Padded positions are masked as attention KEYS (the appended target,
@@ -220,9 +262,9 @@ def _bst_encode(p, x, mask, q, heads):
     # rows that nothing downstream reads — only the target position exits.
     kmask = jnp.concatenate(
         [mask, jnp.ones_like(mask[:, :1])], axis=1)  # [B, T+1]
-    bias = (1.0 - kmask)[:, None, None, :] * jnp.asarray(-1e9, h.dtype)
+    kbias = (1.0 - kmask) * jnp.asarray(-1e9, h.dtype)  # [B, T+1]
     for blk in p["blocks"]:
-        h = _bst_block(blk, h, bias, heads)
+        h = _bst_block(blk, h, kbias, heads, attn_chunk)
     return h[:, -1, :]
 
 
@@ -266,5 +308,6 @@ def encode(params: Dict, name: str, cfg, x: jax.Array, mask: jax.Array,
         return _shan_encode(params, x, mask, q,
                             recent=cfg.model.shan_recent)
     if name == "bst":
-        return _bst_encode(params, x, mask, q, heads=cfg.model.bst_heads)
+        return _bst_encode(params, x, mask, q, heads=cfg.model.bst_heads,
+                           attn_chunk=cfg.model.bst_attn_chunk)
     raise ValueError(f"unknown encoder {name!r}")

@@ -136,3 +136,24 @@ def test_bst_blocks_config(batch):
     cfg.model.bst_heads = 5  # does not divide 2*emb_dim=32
     with pytest.raises(ValueError):
         init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+
+
+def test_bst_chunked_attention_matches_dense(batch):
+    """Online-softmax chunked attention == dense attention (values and
+    grads), including a chunk size that does not divide S=T+1."""
+    cfg = get_config("amazon_hpmn")
+    cfg.model.name = "bst"
+    params = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+
+    cfg.model.bst_attn_chunk = 0
+    (l1, m1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, batch)
+    cfg.model.bst_attn_chunk = 5  # T+1 = 22, not a multiple of 5
+    (l2, m2), g2 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, batch)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1["logits"]),
+                               np.asarray(m2["logits"]), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
