@@ -30,6 +30,8 @@ def main():
     p.add_argument("--data_dir", default="")
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--json", default="",
+                   help="also write the table as JSON to this path")
     args = p.parse_args()
 
     from hpmn_tpu.configs import get_config
@@ -63,6 +65,19 @@ def main():
                             key=lambda kv: -kv[1]["test"]["auc"]):
         print(f"{name:>8}  {res['test']['auc']:.4f}  "
               f"{res['test']['log_loss']:.4f}")
+
+    if args.json:
+        import json
+        with open(args.json, "w") as f:
+            json.dump({
+                "dataset": args.dataset, "task": args.task,
+                "steps": args.steps, "seed": args.seed,
+                "results": {name: {"auc": res["test"]["auc"],
+                                   "log_loss": res["test"]["log_loss"],
+                                   "best_val_auc": res["best_val_auc"]}
+                            for name, res in results.items()},
+            }, f, indent=2)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
