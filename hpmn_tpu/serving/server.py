@@ -108,7 +108,8 @@ class MicroBatcher:
     slice of the fused result (or an exception)."""
 
     def __init__(self, store, max_batch: int = 256, max_wait_ms: float = 2.0,
-                 journal=None, loader=None):
+                 journal=None, loader=None, bundles=None,
+                 journal_factory=None):
         # Multi-model serving: `store` may be one store (named "default")
         # or a dict {name: store} — requests route by their optional
         # "model" field (A/B tests, canaries, one daemon per host).
@@ -121,6 +122,13 @@ class MicroBatcher:
                          else {"default": journal})
         self.journal = self.journals.get("default")
         self.loader = loader  # bundle path -> store (reload support)
+        # name -> bundle path, kept CURRENT across reloads so persistence
+        # (--save_on_exit) writes each store's memories next to the params
+        # it actually served — never back into a superseded bundle.
+        self.bundles: Dict[str, str] = dict(bundles or {})
+        # name -> new UpdateJournal; lets a reload that introduces a new
+        # model name get write-ahead logging like the startup models.
+        self.journal_factory = journal_factory
         self.max_batch = max_batch
         self.max_wait_s = max_wait_ms / 1e3
         self._q: "queue.Queue" = queue.Queue()
@@ -302,13 +310,19 @@ class MicroBatcher:
                                  "(in-process ServingServer: pass loader=)")
             out = []
             for r, _ in reqs:
+                new_model = model not in self.stores
                 self.stores[model] = self.loader(r["bundle"])
+                self.bundles[model] = r["bundle"]
                 if model == "default":
                     self.store = self.stores[model]
+                if new_model and self.journal_factory is not None:
+                    self.journals[model] = self.journal_factory(model)
                 j = self.journals.get(model)
                 if j is not None:
                     # the new bundle is the new ground truth; journaled
-                    # events predate it and must not replay over it
+                    # events (incl. a stale file left by a previously
+                    # added model of the same name) predate it and must
+                    # not replay over it
                     j.truncate()
                 out.append({"ok": True,
                             "n_users": self.stores[model].n_users})
@@ -383,11 +397,14 @@ class _Handler(socketserver.BaseRequestHandler):
             method = msg.get("method", "")
             try:
                 if method == "stats":
+                    # list() snapshots the dict atomically — a concurrent
+                    # reload on the dispatcher thread may insert a new
+                    # model name mid-request.
                     resp = {"ok": True, "stats": dict(srv.batcher.stats),
                             "latency_ms": srv.batcher.latency_ms(),
                             "n_users": srv.store.n_users,
                             "models": {name: st.n_users for name, st
-                                       in srv.stores.items()}}
+                                       in list(srv.stores.items())}}
                 elif method in ("predict", "rank", "update", "reload"):
                     fut = srv.batcher.submit(method, msg)
                     res = fut.result(timeout=srv.request_timeout_s)
@@ -433,11 +450,12 @@ class ServingServer:
     def __init__(self, store, host: str = "127.0.0.1", port: int = 0,
                  max_batch: int = 256, max_wait_ms: float = 2.0,
                  request_timeout_s: float = 60.0, journal=None,
-                 loader=None):
+                 loader=None, bundles=None, journal_factory=None):
         self.batcher = MicroBatcher(store, max_batch, max_wait_ms,
-                                    journal=journal, loader=loader)
+                                    journal=journal, loader=loader,
+                                    bundles=bundles,
+                                    journal_factory=journal_factory)
         self.stores = self.batcher.stores
-        self.store = self.batcher.store
         self.request_timeout_s = request_timeout_s
         self._tcp = _TCPServer((host, port), _Handler)
         self._tcp.owner = self  # type: ignore[attr-defined]
@@ -445,6 +463,13 @@ class ServingServer:
         self._thread = threading.Thread(target=self._tcp.serve_forever,
                                         daemon=True, name="serving-acceptor")
         self._thread.start()
+
+    @property
+    def store(self):
+        """The live default-model store. A property (not a snapshot) so a
+        zero-downtime ``reload`` is observed here too — and so this object
+        holds no reference pinning a superseded arena in memory."""
+        return self.batcher.store
 
     def close(self) -> None:
         self._tcp.shutdown()
@@ -538,17 +563,24 @@ def main(argv=None) -> None:
         bundles[name] = path
     stores = {name: load(path) for name, path in bundles.items()}
     journals = {}
+    journal_factory = None
     if args.journal:
         from .journal import UpdateJournal
 
+        def _jpath(name):
+            return (args.journal if name == "default"
+                    else f"{args.journal}.{name}")
+
+        # A reload that introduces a NEW model name gets write-ahead
+        # logging too (the dispatcher truncates it: journaled events
+        # predate the fresh bundle).
+        journal_factory = lambda name: UpdateJournal(_jpath(name))
         for name, st in stores.items():
-            jpath = (args.journal if name == "default"
-                     else f"{args.journal}.{name}")
             replayed = 0
-            for uids, items, cats in UpdateJournal.replay(jpath):
+            for uids, items, cats in UpdateJournal.replay(_jpath(name)):
                 st.update(uids, items, cats)
                 replayed += len(uids)
-            journals[name] = UpdateJournal(jpath)
+            journals[name] = UpdateJournal(_jpath(name))
             if replayed:
                 print(f"replayed {replayed} journaled events"
                       + (f" for model {name}" if name != "default" else ""),
@@ -569,7 +601,8 @@ def main(argv=None) -> None:
     with ServingServer(stores, host=args.host, port=args.port,
                        max_batch=args.max_batch,
                        max_wait_ms=args.max_wait_ms,
-                       journal=journals, loader=load) as srv:
+                       journal=journals, loader=load, bundles=bundles,
+                       journal_factory=journal_factory) as srv:
         extra = (f" + models {sorted(set(stores) - {'default'})}"
                  if len(stores) > 1 else "")
         print(f"serving bundle {args.bundle} on {srv.host}:{srv.port} "
@@ -577,11 +610,17 @@ def main(argv=None) -> None:
         done.wait()
         if args.save_on_exit:
             srv.batcher.close()  # flush queued updates before persisting
-            for name, st in stores.items():
-                st.save(bundles[name])
-                if journals.get(name) is not None:
-                    journals[name].truncate()  # snapshot covers these now
-            print(f"saved memories back to {args.bundle}", flush=True)
+            # The batcher's store/bundle maps are the live ones: reloads
+            # swap stores and retarget each name at the bundle it actually
+            # served (never a superseded startup path), and may have
+            # introduced new model names.
+            live = srv.batcher
+            for name, st in list(live.stores.items()):
+                st.save(live.bundles[name])
+                if live.journals.get(name) is not None:
+                    live.journals[name].truncate()  # snapshot covers these
+            print("saved memories back to "
+                  + ", ".join(sorted(set(live.bundles.values()))), flush=True)
 
 
 if __name__ == "__main__":

@@ -488,7 +488,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                          "calib": nan, "n": 0.0},
                 "best_val_auc": best_auc, "best_step": best_step,
                 "history": history, "params": params, "preempted": True,
-                "goodput": goodput}
+                "goodput": goodput,
+                "ema_params": get_ema_params(opt_state) if ema_on else None}
 
     # Final test eval with the best checkpoint if available, else current.
     if mngr is not None and mngr.best_step() is not None:

@@ -546,6 +546,55 @@ def test_daemon_bundle_reload(tmp_path):
             np.testing.assert_array_equal(np.asarray(cnt), 10)
 
 
+def test_reload_retargets_persistence_and_registers_new_models(tmp_path):
+    """Persistence must follow reloads: after a default-model reload the
+    live bundle map points at the NEW bundle (so --save_on_exit never
+    writes post-reload memories into a superseded bundle), ``srv.store``
+    observes the swap, and a reload that INTRODUCES a model name registers
+    a write-ahead journal for it and shows up in stats."""
+    import os
+
+    from hpmn_tpu.serving.journal import MAGIC, UpdateJournal
+
+    _, _, a = _store(seed=0)
+    _, _, b = _store(seed=1)
+    uids = np.arange(1, 6, dtype=np.int32)
+    _seed_users(a, uids, T=9, seed=3)
+    _seed_users(b, uids, T=9, seed=4)
+    adir, bdir = tmp_path / "a", tmp_path / "b"
+    adir.mkdir(), bdir.mkdir()
+    b.save_bundle(str(bdir))
+    cand = (uids * 3 % N_ITEMS).astype(np.int32)
+    ccat = (cand % N_CATS).astype(np.int32)
+
+    jpath = lambda name: str(  # noqa: E731 — main()'s naming scheme
+        tmp_path / ("wal" if name == "default" else f"wal.{name}"))
+    loader = lambda p: UserMemoryStore.load_bundle(p)  # noqa: E731
+    with ServingServer(a, port=0, loader=loader,
+                       journal={"default": UpdateJournal(jpath("default"))},
+                       bundles={"default": str(adir)},
+                       journal_factory=lambda n: UpdateJournal(jpath(n))
+                       ) as srv:
+        with ServingClient(srv.host, srv.port) as cl:
+            cl.reload(str(bdir))
+            # the live bundle map and the store alias both track the swap
+            assert srv.batcher.bundles["default"] == str(bdir)
+            assert srv.store is srv.batcher.stores["default"]
+            # reload introducing a NEW model name: routed, journaled,
+            # visible in stats, and given a persistence target
+            cl.reload(str(bdir), model="canary")
+            assert srv.batcher.bundles["canary"] == str(bdir)
+            assert "canary" in cl.stats()["models"]
+            cl.update(uids, cand, ccat, model="canary")
+            assert os.path.getsize(jpath("canary")) > len(MAGIC)
+            # default journal untouched by the canary's updates
+            assert os.path.getsize(jpath("default")) == len(MAGIC)
+            # the save_on_exit walk covers the dynamic model
+            live = srv.batcher
+            assert set(live.stores) == set(live.bundles) == {"default",
+                                                             "canary"}
+
+
 def test_warmup_creates_no_users(tmp_path):
     """--warmup pre-compiles predict buckets with unknown-uid cold-start
     reads; it must not allocate arena rows or change any state."""

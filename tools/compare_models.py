@@ -68,15 +68,20 @@ def main():
 
     if args.json:
         import json
+        import math
+
+        def num(x):  # nan/inf (single-class split, preempted run) -> null:
+            return x if math.isfinite(x) else None  # bare NaN isn't JSON
+
         with open(args.json, "w") as f:
             json.dump({
                 "dataset": args.dataset, "task": args.task,
                 "steps": args.steps, "seed": args.seed,
-                "results": {name: {"auc": res["test"]["auc"],
-                                   "log_loss": res["test"]["log_loss"],
-                                   "best_val_auc": res["best_val_auc"]}
+                "results": {name: {"auc": num(res["test"]["auc"]),
+                                   "log_loss": num(res["test"]["log_loss"]),
+                                   "best_val_auc": num(res["best_val_auc"])}
                             for name, res in results.items()},
-            }, f, indent=2)
+            }, f, indent=2, allow_nan=False)
         print(f"wrote {args.json}")
 
 
