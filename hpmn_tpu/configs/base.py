@@ -69,6 +69,11 @@ def base_config() -> ml_collections.ConfigDict:
     # (lifelong T: the dense [B,h,T,T] scores for T=1000, B=512 would be
     # ~4 GB). 0 = dense. Both paths are equivalence-tested.
     c.model.bst_attn_chunk = 0
+    # Transformer compute dtype: "bfloat16" runs the block matmuls with
+    # bf16 operands (params stay f32; softmax statistics, layer-norm
+    # moments and matmul accumulation stay f32). The MXU-heavy BST is the
+    # model this buys the most for (ARCHITECTURE §3's bf16 rationale).
+    c.model.bst_dtype = "float32"
     # Optional user-id embedding into the tower (SURVEY.md §2.1 tower row:
     # [read/state; target-emb (; user-emb)]); adds a row-shardable
     # [n_users, emb_dim] table.

@@ -164,9 +164,13 @@ def _svdpp_encode(p, x, mask, uid):
 # ----------------------------------------------------------------- BST ----
 
 def _layer_norm(p, x):
-    mu = jnp.mean(x, -1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mu), -1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + 1e-6) * p["g"] + p["b"]
+    # Statistics in f32 even on the bf16 path (mean/variance of ~32 bf16
+    # values loses ~2 digits); the result returns in x's compute dtype.
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, -1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mu), -1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + 1e-6) * p["g"]
+            + p["b"]).astype(x.dtype)
 
 
 def _bst_init(key, cfg, d_in, dtype):
@@ -212,60 +216,76 @@ def _chunked_attention(qh, kh, vh, kbias, chunk):
     ks = jnp.moveaxis(kh.reshape(B, H, nk, chunk, dh), 2, 0)
     vs = jnp.moveaxis(vh.reshape(B, H, nk, chunk, dh), 2, 0)
     bs = jnp.moveaxis(kbias.reshape(B, nk, chunk), 1, 0)  # [nk, B, chunk]
-    neg = jnp.asarray(-1e30, qh.dtype)
+    # Softmax statistics and the weighted-value accumulator run in f32
+    # regardless of the QKV compute dtype (bst_dtype=bfloat16): the MXU
+    # matmuls take bf16 operands with f32 accumulation, and the running
+    # (m, l, acc) state must not round across hundreds of chunk updates.
+    neg = jnp.asarray(-1e30, jnp.float32)
 
     def kv_step(carry, kvc):
         m, l, acc = carry
         kc, vc, bc = kvc
-        s = jnp.einsum("bhsd,bhtd->bhst", qh, kc) * dh ** -0.5 \
+        s = jnp.einsum("bhsd,bhtd->bhst", qh, kc,
+                       preferred_element_type=jnp.float32) * dh ** -0.5 \
             + bc[:, None, None, :]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1))
         p = jnp.exp(s - m_new[..., None])
         corr = jnp.exp(m - m_new)
         l = l * corr + jnp.sum(p, axis=-1)
-        acc = acc * corr[..., None] + jnp.einsum("bhst,bhtd->bhsd", p, vc)
+        acc = acc * corr[..., None] + jnp.einsum(
+            "bhst,bhtd->bhsd", p.astype(qh.dtype), vc,
+            preferred_element_type=jnp.float32)
         return (m_new, l, acc), None
 
-    init = (jnp.full((B, H, S), neg, qh.dtype),
-            jnp.zeros((B, H, S), qh.dtype),
-            jnp.zeros((B, H, S, dh), qh.dtype))
+    init = (jnp.full((B, H, S), neg, jnp.float32),
+            jnp.zeros((B, H, S), jnp.float32),
+            jnp.zeros((B, H, S, dh), jnp.float32))
     (m, l, acc), _ = jax.lax.scan(kv_step, init, (ks, vs, bs))
-    return acc / l[..., None]
+    return acc / l[..., None]  # f32; caller casts to the compute dtype
 
 
 def _bst_block(blk, h, kbias, heads, attn_chunk):
     B, S, d = h.shape
     dh = d // heads
+    dt = h.dtype  # compute dtype: f32, or bf16 under bst_dtype=bfloat16
+
+    def w(name):  # params stay f32 (the optimizer's dtype); cast at use —
+        return blk[name].astype(dt)  # XLA fuses the convert into the matmul
 
     def split(x):  # [B, S, d] -> [B, heads, S, dh]
         return x.reshape(B, S, heads, dh).transpose(0, 2, 1, 3)
 
-    qh, kh, vh = split(h @ blk["wq"]), split(h @ blk["wk"]), split(h @ blk["wv"])
+    qh, kh, vh = split(h @ w("wq")), split(h @ w("wk")), split(h @ w("wv"))
     if attn_chunk:
         ctx = _chunked_attention(qh, kh, vh, kbias, attn_chunk)
     else:
-        scores = jnp.einsum("bhsd,bhtd->bhst", qh, kh) * dh ** -0.5 \
-            + kbias[:, None, None, :]
+        scores = jnp.einsum("bhsd,bhtd->bhst", qh, kh,
+                            preferred_element_type=jnp.float32) \
+            * dh ** -0.5 + kbias[:, None, None, :]
         ctx = jnp.einsum("bhst,bhtd->bhsd",
-                         jax.nn.softmax(scores, axis=-1), vh)
-    a = ctx.transpose(0, 2, 1, 3).reshape(B, S, d) @ blk["wo"]
+                         jax.nn.softmax(scores, axis=-1).astype(dt), vh,
+                         preferred_element_type=jnp.float32)
+    a = ctx.astype(dt).transpose(0, 2, 1, 3).reshape(B, S, d) @ w("wo")
     h = _layer_norm(blk["ln1"], h + a)
-    f = jax.nn.leaky_relu(h @ blk["w1"] + blk["b1"]) @ blk["w2"] + blk["b2"]
+    f = jax.nn.leaky_relu(h @ w("w1") + w("b1")) @ w("w2") + w("b2")
     return _layer_norm(blk["ln2"], h + f)
 
 
-def _bst_encode(p, x, mask, q, heads, attn_chunk=0):
+def _bst_encode(p, x, mask, q, heads, attn_chunk=0,
+                compute_dtype=jnp.float32):
     B, T, d = x.shape
-    h = jnp.concatenate([x, q[:, None, :]], axis=1) + p["pos"][None, :T + 1]
+    h = (jnp.concatenate([x, q[:, None, :]], axis=1)
+         + p["pos"][None, :T + 1]).astype(compute_dtype)
     # Padded positions are masked as attention KEYS (the appended target,
     # always valid, carries an explicit 1); padded queries produce garbage
     # rows that nothing downstream reads — only the target position exits.
     kmask = jnp.concatenate(
         [mask, jnp.ones_like(mask[:, :1])], axis=1)  # [B, T+1]
-    kbias = (1.0 - kmask) * jnp.asarray(-1e9, h.dtype)  # [B, T+1]
+    # Bias stays f32: it adds onto f32 attention scores pre-softmax.
+    kbias = (1.0 - kmask) * jnp.asarray(-1e9, jnp.float32)  # [B, T+1]
     for blk in p["blocks"]:
         h = _bst_block(blk, h, kbias, heads, attn_chunk)
-    return h[:, -1, :]
+    return h[:, -1, :].astype(x.dtype)
 
 
 # ------------------------------------------------------------ dispatch ----
@@ -309,5 +329,6 @@ def encode(params: Dict, name: str, cfg, x: jax.Array, mask: jax.Array,
                             recent=cfg.model.shan_recent)
     if name == "bst":
         return _bst_encode(params, x, mask, q, heads=cfg.model.bst_heads,
-                           attn_chunk=cfg.model.bst_attn_chunk)
+                           attn_chunk=cfg.model.bst_attn_chunk,
+                           compute_dtype=jnp.dtype(cfg.model.bst_dtype))
     raise ValueError(f"unknown encoder {name!r}")

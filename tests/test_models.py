@@ -157,3 +157,28 @@ def test_bst_chunked_attention_matches_dense(batch):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_bst_bf16_matches_f32(batch):
+    """bst_dtype=bfloat16 (bf16 matmul operands; f32 softmax stats,
+    layer-norm moments and accumulation) tracks the f32 path within bf16
+    rounding — values and finite grads, dense and chunked attention."""
+    cfg = get_config("amazon_hpmn")
+    cfg.model.name = "bst"
+    params = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+
+    (l32, m32), _ = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, batch)
+    for chunk in (0, 5):
+        cfg.model.bst_attn_chunk = chunk
+        cfg.model.bst_dtype = "bfloat16"
+        (l16, m16), g16 = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, cfg, batch)
+        cfg.model.bst_dtype = "float32"
+        assert abs(float(l16) - float(l32)) < 3e-2
+        np.testing.assert_allclose(np.asarray(m16["logits"]),
+                                   np.asarray(m32["logits"]),
+                                   atol=0.15)  # bf16 has ~2-3 digits
+        for g in jax.tree.leaves(g16):
+            assert g.dtype == np.float32  # grads land in the params dtype
+            assert np.all(np.isfinite(np.asarray(g)))
