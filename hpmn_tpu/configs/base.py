@@ -220,6 +220,17 @@ def amazon_gru4rec() -> ml_collections.ConfigDict:
     return c
 
 
+def taobao_bst() -> ml_collections.ConfigDict:
+    """BST Transformer (extra model family beyond the reference's set) on
+    Taobao: one post-LN block per the BST paper, dense attention (T=300
+    fits; lifelong-T runs set bst_attn_chunk). Measured 41.4k ex/s/chip
+    full train step at B=256 (BASELINE.md)."""
+    c = _taobao(base_config())
+    c.model.name = "bst"
+    c.train.steps_per_dispatch = 8
+    return c
+
+
 _CONFIGS = {
     "amazon_hpmn": amazon_hpmn,
     "taobao_hpmn": taobao_hpmn,
@@ -227,6 +238,7 @@ _CONFIGS = {
     "taobao_dien": taobao_dien,
     "amazon_rum": amazon_rum,
     "amazon_gru4rec": amazon_gru4rec,
+    "taobao_bst": taobao_bst,
 }
 
 
