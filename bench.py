@@ -18,6 +18,7 @@ Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -93,8 +94,39 @@ def _probe_backend(timeout_s: int = 600) -> None:
         pass  # probe env oddity; let the real init try below
 
 
+def _run_gate() -> None:
+    """--gate: run the on-chip compiled-numerics gate (tools/verify_onchip.py)
+    before benchmarking and fail LOUDLY if the Pallas kernels have drifted
+    from the XLA anchor — a kernel-numerics regression must produce a red
+    artifact, not a quietly-faster number (VERDICT r2 weak #4)."""
+    import subprocess
+
+    r = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "tools", "verify_onchip.py")],
+        capture_output=True, text=True, timeout=3600)
+    sys.stderr.write(r.stderr)
+    if r.returncode != 0:
+        print(json.dumps({
+            "metric": "xlong_hpmn_train_examples_per_sec_per_chip",
+            "value": None, "unit": "examples/s/chip", "vs_baseline": None,
+            "error": "on-chip numerics gate FAILED (tools/verify_onchip.py)",
+            "gate": (r.stdout or "").strip()[-2000:]}))
+        sys.exit(1)
+    print(f"# numerics gate passed: {(r.stdout or '').strip()}",
+          file=sys.stderr)
+
+
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gate", action="store_true",
+                    help="run tools/verify_onchip.py first; fail loudly")
+    args = ap.parse_args()
     _probe_backend()
+    if args.gate:
+        _run_gate()
     from hpmn_tpu.configs import get_config
     from hpmn_tpu.data.synthetic import XLONG
     from hpmn_tpu.models import init_model

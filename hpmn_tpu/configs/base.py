@@ -70,9 +70,11 @@ def base_config() -> ml_collections.ConfigDict:
     # ~4 GB). 0 = dense. Both paths are equivalence-tested.
     c.model.bst_attn_chunk = 0
     # Transformer compute dtype: "bfloat16" runs the block matmuls with
-    # bf16 operands (params stay f32; softmax statistics, layer-norm
-    # moments and matmul accumulation stay f32). The MXU-heavy BST is the
-    # model this buys the most for (ARCHITECTURE §3's bf16 rationale).
+    # bf16 operands (params stay f32; softmax statistics and layer-norm
+    # moments stay f32, and the attention einsums request f32 accumulation
+    # explicitly via preferred_element_type; the FFN/projection matmuls
+    # rely on the TPU MXU's native f32 accumulation and emit bf16). The
+    # MXU-heavy BST is the model this buys the most for (ARCHITECTURE §3).
     c.model.bst_dtype = "float32"
     # Optional user-id embedding into the tower (SURVEY.md §2.1 tower row:
     # [read/state; target-emb (; user-emb)]); adds a row-shardable
@@ -132,7 +134,13 @@ def base_config() -> ml_collections.ConfigDict:
     c.mesh.sp_inner = "jnp"  # chunk-scan impl: jnp | pallas (fused kernel)
 
     c.eval_batch_size = 256
-    c.eval_streaming_bins = 0  # >0: bounded-memory histogram AUC (no GAUC)
+    c.eval_streaming_bins = 0  # >0: bounded-memory histogram AUC/GAUC
+    # Streaming-mode GAUC: per-user [2, eval_gauc_bins] int32 histograms —
+    # O(users) memory, independent of impression count. 0 disables (gauc =
+    # nan); eval_gauc_max_users > 0 hash-caps the user state HARD
+    # (colliding users merge within a bucket).
+    c.eval_gauc_bins = 256
+    c.eval_gauc_max_users = 0
     return c
 
 
@@ -163,7 +171,10 @@ def _xlong(c):
     c.model.hpmn_layers = 6  # T=1000: periods 1,3,...,243 (all layers fire;
     c.model.hpmn_period = 3  # period 4 would leave the 1024-period top dead)
     c.loss.l2_weight = 1e-5
-    c.train.batch_size = 128
+    # B=512 is the measured throughput optimum on TPU v5e (BASELINE.md:
+    # 256 and 1024 both bench lower at k=1; with dispatch chaining B=1024
+    # only ties it) — the config default IS the recorded headline shape.
+    c.train.batch_size = 512
     # Production default for the flagship: fuse 32 steps per dispatch
     # (measured k sweeps at B=512: k=1 25.7k, k=8 27.9k, k=16 31.2k, k=24
     # 31.6k, k=32 31.7k, k=64 31.9k ex/s with bf16-sized tiles — k=32
@@ -200,9 +211,13 @@ def xlong_hpmn() -> ml_collections.ConfigDict:
 
 
 def taobao_dien() -> ml_collections.ConfigDict:
-    """[B:10] DIEN baseline (GRU + AUGRU attention evolution) on Taobao."""
+    """[B:10] DIEN baseline (GRU + AUGRU attention evolution) on Taobao.
+    B=512 / k=16 is the measured throughput shape (46.7k ex/s/chip with
+    Pallas bf16, BASELINE.md)."""
     c = _taobao(base_config())
     c.model.name = "dien"
+    c.train.batch_size = 512
+    c.train.steps_per_dispatch = 16
     return c
 
 
@@ -223,10 +238,11 @@ def amazon_gru4rec() -> ml_collections.ConfigDict:
 def taobao_bst() -> ml_collections.ConfigDict:
     """BST Transformer (extra model family beyond the reference's set) on
     Taobao: one post-LN block per the BST paper, dense attention (T=300
-    fits; lifelong-T runs set bst_attn_chunk). Measured 41.4k ex/s/chip
-    full train step at B=256 (BASELINE.md)."""
+    fits; lifelong-T runs set bst_attn_chunk). B=256 / k=8 is the measured
+    throughput shape (41.4k ex/s/chip full train step, BASELINE.md)."""
     c = _taobao(base_config())
     c.model.name = "bst"
+    c.train.batch_size = 256
     c.train.steps_per_dispatch = 8
     return c
 

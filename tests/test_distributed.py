@@ -96,6 +96,19 @@ ea = auc(gl, gy)
 assert abs(sa - ea) < 2e-3, (sa, ea)
 print(f"proc {pid} streaming_auc {sa:.10f}")
 
+# Streaming GAUC cross-host merge: per-user histograms allgathered with
+# ragged user counts (the two hosts saw different user sets and users span
+# hosts) must reproduce the exact per-user metric on the pooled rows.
+from hpmn_tpu.train.metrics import StreamingGAUC, gauc
+from hpmn_tpu.train.evaluate import _merge_gauc_across_hosts
+gacc = StreamingGAUC(n_bins=4096)
+gacc.update(logits, labels, uids)  # uids 0..4: users span both hosts
+gacc = _merge_gauc_across_hosts(gacc, 4096, 0)
+sg = gacc.result()
+eg = gauc(gl, gy, gu)
+assert abs(sg - eg) < 2e-3, (sg, eg)
+print(f"proc {pid} streaming_gauc {sg:.10f}")
+
 # Full mini train+eval through the multi-host path: per-process loader
 # shards assembled into global batches (make_array_from_process_local_data),
 # per-host eval shards merged into one global metric.
@@ -122,7 +135,19 @@ res_s = train(cfg, log=lambda s: None)
 assert abs(res_s['test']['auc'] - res['test']['auc']) < 2e-3, \
     (res_s['test']['auc'], res['test']['auc'])
 assert res_s['test']['n'] == res['test']['n']
+# Bounded-memory GAUC rides the same production path: per-user histograms
+# merged across hosts must track the exact per-user metric and agree
+# everywhere (users' eval rows span hosts — the loader shards round-robin).
+# Both estimators skip single-class users, so nan must pair with nan (the
+# tiny synthetic eval split can be all-singleton users).
+import math
+if math.isnan(res['test']['gauc']):
+    assert math.isnan(res_s['test']['gauc'])
+else:
+    assert abs(res_s['test']['gauc'] - res['test']['gauc']) < 5e-3, \
+        (res_s['test']['gauc'], res['test']['gauc'])
 print(f"proc {pid} streameval_auc {res_s['test']['auc']:.10f}")
+print(f"proc {pid} streameval_gauc {res_s['test']['gauc']:.10f}")
 print(f"proc {pid} OK")
 """
 
@@ -149,6 +174,7 @@ def test_two_process_mesh(tmp_path):
     # Both hosts computed the identical merged global AUC.
     aucs = set()
     s_aucs = set()
+    s_gaucs = set()
     train_aucs = set()
     ns = set()
     for o in outs:
@@ -157,17 +183,24 @@ def test_two_process_mesh(tmp_path):
                 aucs.add(line.split()[-1])
             if "streaming_auc" in line:
                 s_aucs.add(line.split()[-1])
+            if "streaming_gauc" in line:
+                s_gaucs.add(line.split()[-1])
             if "train_auc" in line:
                 train_aucs.add(line.split()[3])
                 ns.add(line.split()[5])
     assert len(aucs) == 1, aucs
     assert len(s_aucs) == 1, s_aucs  # histogram merge identical on all hosts
+    assert len(s_gaucs) == 1, s_gaucs  # per-user histogram merge too
     se_aucs = set()
+    se_gaucs = set()
     for o in outs:
         for line in o.splitlines():
             if "streameval_auc" in line:
                 se_aucs.add(line.split()[-1])
+            if "streameval_gauc" in line:
+                se_gaucs.add(line.split()[-1])
     assert len(se_aucs) == 1, se_aucs  # production streaming path too
+    assert len(se_gaucs) == 1, se_gaucs  # per-user GAUC merge identical
     # The end-to-end run reported one identical global test metric per host,
     # over the full (un-duplicated) test set.
     assert len(train_aucs) == 1, train_aucs

@@ -160,6 +160,61 @@ def test_serve_daemon_cli(tmp_path):
     np.testing.assert_array_equal(np.asarray(cnt), 10)  # 9 history + 1
 
 
+@pytest.mark.slow
+def test_save_on_exit_duplicate_bundle_paths_do_not_clobber(tmp_path):
+    """Two model names serving the SAME bundle path (a canary reloaded from
+    the bundle already serving default) must not clobber each other on
+    --save_on_exit: the first claimant keeps the shared path, the other is
+    diverted to a per-model subpath, and BOTH models' post-snapshot
+    memories are recoverable (ADVICE r2 medium)."""
+    import os
+    import signal as _signal
+    import subprocess
+    import sys as _sys
+
+    _, _, store = _store()
+    uids = np.arange(1, 6, dtype=np.int32)
+    _seed_users(store, uids, T=9)
+    bundle = tmp_path / "bundle"
+    bundle.mkdir()
+    store.save_bundle(str(bundle))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.Popen(
+        [_sys.executable, "tools/serve.py", "--bundle", str(bundle),
+         "--port", "0", "--save_on_exit", "--force_cpu"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, cwd=repo)
+    try:
+        line = proc.stdout.readline()
+        assert "serving bundle" in line, (line, proc.stderr.read())
+        hostport = line.split(" on ")[1].split()[0]
+        host, port = hostport.rsplit(":", 1)
+        items = (uids * 3 % N_ITEMS).astype(np.int32)
+        with ServingClient(host, int(port), timeout_s=120) as cl:
+            cl.reload(str(bundle), model="canary")  # same path as default
+            # divergent updates: default gets 1 event, canary gets 2
+            cl.update(uids, items, items % N_CATS)
+            cl.update(uids, items, items % N_CATS, model="canary")
+            cl.update(uids, (items + 1) % N_ITEMS,
+                      (items + 1) % N_CATS, model="canary")
+        proc.send_signal(_signal.SIGTERM)
+        proc.wait(timeout=60)
+        out = proc.stdout.read()
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+    # default kept the shared path; canary was diverted, loudly
+    assert "shares a bundle path" in out, out
+    back_default = UserMemoryStore.load_bundle(str(bundle))
+    _, cnt = back_default._gather(uids)
+    np.testing.assert_array_equal(np.asarray(cnt), 10)  # 9 history + 1
+    canary_path = f"{bundle}.canary"
+    assert os.path.isdir(canary_path), out
+    back_canary = UserMemoryStore.load_bundle(canary_path)
+    _, cnt = back_canary._gather(uids)
+    np.testing.assert_array_equal(np.asarray(cnt), 11)  # 9 history + 2
+
+
 def test_update_padding_is_exact_and_creates_no_users():
     """Fused update batches pad by replicating the first (uid, event) row;
     the duplicate collapses to ONE event application (gather-before-write),
