@@ -59,10 +59,17 @@ def process_log(rows: Sequence[Tuple], seq_len: int, seed: int = 0,
 
     out = defaultdict(list)
     uid_vocab = build_vocab(by_user.keys())
-    for user, events in by_user.items():
-        if len(events) < min_events:
-            continue
+    # Row order IS the time-ordered split (train_val_test_split slices by
+    # index): emit users by their held-out target event's timestamp, each
+    # user's negative adjacent to its positive, so the tail slices (val/
+    # test) are the LATEST examples with both classes present.
+    for events in by_user.values():
         events.sort(key=lambda e: e[0])
+    emit_order = sorted(
+        (u for u, ev in by_user.items() if len(ev) >= min_events),
+        key=lambda u: (by_user[u][-1][0], str(u)))
+    for user in emit_order:
+        events = by_user[user]
         ids = [(item_vocab[i], cat_vocab[c]) for _, i, c in events]
         hist, (pos_item, pos_cat) = ids[:-1], ids[-1]
         hist = hist[-seq_len:]
@@ -141,17 +148,32 @@ def process_events(uid: np.ndarray, item: np.ndarray, cat: np.ndarray,
     neg_ev = rng.integers(0, n_rows, size=n)
     neg_pos_ev = rng.integers(0, n_rows, size=(n, T))
 
+    # Row order IS the train/val/test split (train_val_test_split slices by
+    # index), so emit example PAIRS ordered by the held-out target event's
+    # timestamp with each user's negative adjacent to its positive. A
+    # [pos-block | neg-block] layout would make the tail slices — val and
+    # test — single-class (AUC undefined); caught by the deployment drill
+    # (tests/test_ops_rehearsal.py).
+    t_target = ts[order][ends - 1]
+    time_idx = np.argsort(t_target, kind="mergesort")
+    perm = np.empty(2 * n, np.int64)
+    perm[0::2] = time_idx
+    perm[1::2] = time_idx + n
+
     def dup(a):
-        return np.concatenate([a, a])
+        return np.concatenate([a, a])[perm]
 
     return {
         "uid": dup(uids_kept),
         "item_seq": dup(item_seq),
         "cat_seq": dup(cat_seq),
         "seq_mask": dup(mask),
-        "target_item": np.concatenate([pos_item, it[neg_ev]]).astype(np.int32),
-        "target_cat": np.concatenate([pos_cat, ct[neg_ev]]).astype(np.int32),
-        "label": np.concatenate([np.ones(n), np.zeros(n)]).astype(np.float32),
+        "target_item": np.concatenate(
+            [pos_item, it[neg_ev]]).astype(np.int32)[perm],
+        "target_cat": np.concatenate(
+            [pos_cat, ct[neg_ev]]).astype(np.int32)[perm],
+        "label": np.concatenate(
+            [np.ones(n), np.zeros(n)]).astype(np.float32)[perm],
         "neg_item_seq": dup(it[neg_pos_ev].astype(np.int32)),
         "neg_cat_seq": dup(ct[neg_pos_ev].astype(np.int32)),
     }
