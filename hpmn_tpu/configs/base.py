@@ -247,6 +247,22 @@ def taobao_bst() -> ml_collections.ConfigDict:
     return c
 
 
+def xlong_bst() -> ml_collections.ConfigDict:
+    """BST on XLong (lifelong T=1000): the extra family's lifelong leg,
+    with the final block restricted to the target-position query (O(T), the
+    r3 optimization — 82% of the r2 step was attention nothing downstream
+    read) and the key-chunked online-softmax path available for
+    bst_blocks > 1 (no O(T^2) score matrix). B=256 / k=8 is the measured
+    optimum: 32.1k ex/s/chip vs 4.8k in r2 (tools/bench_breakdown.py
+    --config xlong_bst + tools/bench_config.py sweep, BASELINE.md)."""
+    c = _xlong(base_config())
+    c.model.name = "bst"
+    c.train.batch_size = 256
+    c.train.steps_per_dispatch = 8
+    c.model.bst_attn_chunk = 128
+    return c
+
+
 _CONFIGS = {
     "amazon_hpmn": amazon_hpmn,
     "taobao_hpmn": taobao_hpmn,
@@ -255,6 +271,7 @@ _CONFIGS = {
     "amazon_rum": amazon_rum,
     "amazon_gru4rec": amazon_gru4rec,
     "taobao_bst": taobao_bst,
+    "xlong_bst": xlong_bst,
 }
 
 

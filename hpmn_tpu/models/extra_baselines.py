@@ -244,7 +244,30 @@ def _chunked_attention(qh, kh, vh, kbias, chunk):
     return acc / l[..., None]  # f32; caller casts to the compute dtype
 
 
-def _bst_block(blk, h, kbias, heads, attn_chunk):
+def _dense_attention(qh, kh, vh, kbias):
+    """Materialized-scores attention (short T): [B,H,S,S] f32 scores, one
+    softmax, one weighted sum. Returns f32; caller casts."""
+    dh = qh.shape[-1]
+    scores = jnp.einsum("bhsd,bhtd->bhst", qh, kh,
+                        preferred_element_type=jnp.float32) \
+        * dh ** -0.5 + kbias[:, None, None, :]
+    return jnp.einsum("bhst,bhtd->bhsd",
+                      jax.nn.softmax(scores, axis=-1).astype(qh.dtype), vh,
+                      preferred_element_type=jnp.float32)
+
+
+def _bst_block(blk, h, kbias, heads, attn_chunk, last_query_only=False):
+    """One post-LN Transformer block.
+
+    ``last_query_only``: restrict the block to the FINAL sequence position
+    as attention query (keys/values still span all positions) and return
+    [B, 1, d]. Exact for the final block — every op after attention is
+    position-wise and only position -1 exits the encoder, so the other
+    S-1 query rows are dead code XLA does not eliminate. This turns the
+    final block's attention from O(S^2) to O(S) compute and memory:
+    measured 82% of the XLong BST train step was attention, and a 1-block
+    BST (the config default) pays none of it (tools/bench_breakdown.py
+    --config xlong_bst; VERDICT r2 weak #1)."""
     B, S, d = h.shape
     dh = d // heads
     dt = h.dtype  # compute dtype: f32, or bf16 under bst_dtype=bfloat16
@@ -252,21 +275,21 @@ def _bst_block(blk, h, kbias, heads, attn_chunk):
     def w(name):  # params stay f32 (the optimizer's dtype); cast at use —
         return blk[name].astype(dt)  # XLA fuses the convert into the matmul
 
-    def split(x):  # [B, S, d] -> [B, heads, S, dh]
-        return x.reshape(B, S, heads, dh).transpose(0, 2, 1, 3)
+    def split(x):  # [B, Sq, d] -> [B, heads, Sq, dh]
+        return x.reshape(B, x.shape[1], heads, dh).transpose(0, 2, 1, 3)
 
-    qh, kh, vh = split(h @ w("wq")), split(h @ w("wk")), split(h @ w("wv"))
-    if attn_chunk:
+    hq = h[:, -1:, :] if last_query_only else h
+    qh, kh, vh = split(hq @ w("wq")), split(h @ w("wk")), split(h @ w("wv"))
+    if last_query_only:
+        # [B, H, 1, S] scores: O(S) memory — never needs chunking.
+        ctx = _dense_attention(qh, kh, vh, kbias)
+    elif attn_chunk:
         ctx = _chunked_attention(qh, kh, vh, kbias, attn_chunk)
     else:
-        scores = jnp.einsum("bhsd,bhtd->bhst", qh, kh,
-                            preferred_element_type=jnp.float32) \
-            * dh ** -0.5 + kbias[:, None, None, :]
-        ctx = jnp.einsum("bhst,bhtd->bhsd",
-                         jax.nn.softmax(scores, axis=-1).astype(dt), vh,
-                         preferred_element_type=jnp.float32)
-    a = ctx.astype(dt).transpose(0, 2, 1, 3).reshape(B, S, d) @ w("wo")
-    h = _layer_norm(blk["ln1"], h + a)
+        ctx = _dense_attention(qh, kh, vh, kbias)
+    Sq = ctx.shape[2]
+    a = ctx.astype(dt).transpose(0, 2, 1, 3).reshape(B, Sq, d) @ w("wo")
+    h = _layer_norm(blk["ln1"], hq + a)
     f = jax.nn.leaky_relu(h @ w("w1") + w("b1")) @ w("w2") + w("b2")
     return _layer_norm(blk["ln2"], h + f)
 
@@ -283,8 +306,9 @@ def _bst_encode(p, x, mask, q, heads, attn_chunk=0,
         [mask, jnp.ones_like(mask[:, :1])], axis=1)  # [B, T+1]
     # Bias stays f32: it adds onto f32 attention scores pre-softmax.
     kbias = (1.0 - kmask) * jnp.asarray(-1e9, jnp.float32)  # [B, T+1]
-    for blk in p["blocks"]:
-        h = _bst_block(blk, h, kbias, heads, attn_chunk)
+    for i, blk in enumerate(p["blocks"]):
+        h = _bst_block(blk, h, kbias, heads, attn_chunk,
+                       last_query_only=i == len(p["blocks"]) - 1)
     return h[:, -1, :].astype(x.dtype)
 
 

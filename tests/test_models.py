@@ -159,6 +159,54 @@ def test_bst_chunked_attention_matches_dense(batch):
                                    atol=2e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("blocks,chunk", [(1, 0), (1, 5), (2, 0), (3, 5)])
+def test_bst_last_query_optimization_is_exact(batch, blocks, chunk):
+    """The production encoder restricts the FINAL block to the target
+    position as attention query (O(S) instead of O(S^2) — measured 82% of
+    the XLong step). It must be EXACT vs the all-queries final block in
+    values and grads: every op after attention is position-wise, so the
+    dropped query rows are dead code."""
+    from hpmn_tpu.models import extra_baselines as eb
+
+    cfg = get_config("amazon_hpmn")
+    cfg.model.name = "bst"
+    cfg.model.bst_blocks = blocks
+    cfg.model.bst_attn_chunk = chunk
+    params = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+
+    (l1, m1), g1 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params, cfg, batch)
+
+    # reference: all-queries final block (the pre-optimization pipeline)
+    orig = eb._bst_encode
+
+    def full_encode(p, x, mask, q, heads, attn_chunk=0,
+                    compute_dtype=None):
+        import jax.numpy as jnp
+        h = (jnp.concatenate([x, q[:, None, :]], axis=1)
+             + p["pos"][None, :x.shape[1] + 1]).astype(compute_dtype
+                                                       or x.dtype)
+        kmask = jnp.concatenate([mask, jnp.ones_like(mask[:, :1])], axis=1)
+        kbias = (1.0 - kmask) * jnp.asarray(-1e9, jnp.float32)
+        for blk in p["blocks"]:
+            h = eb._bst_block(blk, h, kbias, heads, attn_chunk,
+                              last_query_only=False)
+        return h[:, -1, :].astype(x.dtype)
+
+    eb._bst_encode = full_encode
+    try:
+        (l2, m2), g2 = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, cfg, batch)
+    finally:
+        eb._bst_encode = orig
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(m1["logits"]),
+                               np.asarray(m2["logits"]), atol=1e-5)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-5, rtol=1e-4)
+
+
 def test_bst_bf16_matches_f32(batch):
     """bst_dtype=bfloat16 (bf16 matmul operands; f32 softmax stats,
     layer-norm moments and accumulation) tracks the f32 path within bf16

@@ -176,6 +176,59 @@ def main():
         "XLA lowers to sort+segment; measured platform floor "
         "(ARCHITECTURE.md §4: 8 routes tried, none beat it)")
 
+    # ---- BST attention (XLong lifelong shapes) ---------------------------
+    # VERDICT r2 weak #1: the newest family's hot op gets the same
+    # speed-of-light accounting as the GRU scan. Shapes: xlong_bst config
+    # (B=128, H=2, S=1001, dh=16). The PRODUCTION final block computes only
+    # the target-position query ([B,H,1,S] scores — O(S)); the chunked
+    # full-query op remains the inner-block path for bst_blocks > 1.
+    from hpmn_tpu.models.extra_baselines import (_chunked_attention,
+                                                 _dense_attention)
+    Ba, H, S, dh, chunk = 128, 2, 1001, 16, 128
+    qkv = jnp.asarray(rng.standard_normal((3, Ba, H, S, dh)), jnp.float32)
+    kbias = jnp.zeros((Ba, S), jnp.float32)
+
+    def tq_loss(q1, k_, v_):
+        return jnp.sum(_dense_attention(q1, k_, v_, kbias))
+
+    gtq = jax.grad(tq_loss, argnums=(0, 1, 2))
+
+    def tq_grad(c, b, s):
+        q1 = b[0][:, :, -1:, :] + c * 1e-6 + s * 1e-9
+        return gtq(q1, b[1], b[2])[1][0, 0, 0, :1]
+
+    t = measure(tq_grad, jnp.zeros((1,), jnp.float32), qkv, k=4)
+    tq_flops = 3 * 4 * Ba * H * 1 * S * dh  # fwd+bwd, one query row
+    tq_bytes = 3 * (2 * Ba * H * S * dh * 4 + Ba * H * S * 4)
+    add("bst_attn_target_query", t, tq_flops, tq_bytes, "HBM stream",
+        "the production final-block op (fwd+bwd): reads k,v once; "
+        "O(S) not O(S^2)")
+
+    def attn_fwd(c, b, s):
+        q = b[0] + c * 1e-6 + s * 1e-9  # thread chain+seed through q
+        return _chunked_attention(q, b[1], b[2], kbias, chunk)[0, 0, 0, :1]
+
+    t = measure(attn_fwd, jnp.zeros((1,), jnp.float32), qkv, k=4)
+    attn_flops = 4 * Ba * H * S * S * dh  # qk^T + pv, 2 MACs each
+    attn_bytes = 4 * Ba * H * S * dh * 4  # read q,k,v + write out (useful)
+    add("bst_attn_chunk_fwd", t, attn_flops, attn_bytes, "HBM carry streams",
+        "XLA online-softmax key-chunk scan: the S-sized (m,l,acc) carry "
+        "re-streams HBM every chunk iteration; useful-bytes GB/s "
+        "understates physical traffic by ~2x nk")
+
+    def attn_loss(q, k_, v_):
+        return jnp.sum(_chunked_attention(q, k_, v_, kbias, chunk))
+
+    gattn = jax.grad(attn_loss, argnums=(0, 1, 2))
+
+    def attn_grad(c, b, s):
+        q = b[0] + c * 1e-6 + s * 1e-9
+        return gattn(q, b[1], b[2])[0][0, 0, 0, :1]
+
+    t = measure(attn_grad, jnp.zeros((1,), jnp.float32), qkv, k=4)
+    add("bst_attn_chunk_fwd+bwd", t, 3 * attn_flops, 3 * attn_bytes,
+        "HBM carry streams", "reverse scan saves/re-reads per-chunk state")
+
     # ---- report ----------------------------------------------------------
     for r in rows:
         t_s = r["ms"] / 1e3
