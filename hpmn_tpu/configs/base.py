@@ -184,10 +184,14 @@ def _xlong(c):
 
 
 def amazon_hpmn() -> ml_collections.ConfigDict:
-    """[B:7] HPMN single memory layer, Amazon (T=100, CPU-runnable)."""
+    """[B:7] HPMN single memory layer, Amazon (T=100, CPU-runnable).
+    k=64 steps/dispatch is the measured knee (257k ex/s/chip vs 7.4k at
+    k=1 — T=100 single steps are per-dispatch-overhead-bound; k=128
+    measured +18% more but halves log/eval granularity, BASELINE.md)."""
     c = _amazon(base_config())
     c.model.name = "hpmn"
     c.model.hpmn_layers = 1
+    c.train.steps_per_dispatch = 64
     return c
 
 
@@ -195,11 +199,15 @@ def taobao_hpmn() -> ml_collections.ConfigDict:
     """[B:8] HPMN 3-layer periodic memory, Taobao (T=300). With only three
     layers the period must be large for the hierarchy to reach the horizon:
     1, 10, 100 (see the reach rule above; period 3 reach=9 is at chance on
-    the planted long-range task, period 10 learns it)."""
+    the planted long-range task, period 10 learns it). B=512 / k=32 is the
+    measured throughput shape (91.1k ex/s/chip; k=64 +3.6% within noise,
+    BASELINE.md)."""
     c = _taobao(base_config())
     c.model.name = "hpmn"
     c.model.hpmn_layers = 3
     c.model.hpmn_period = 10
+    c.train.batch_size = 512
+    c.train.steps_per_dispatch = 32
     return c
 
 
@@ -222,16 +230,20 @@ def taobao_dien() -> ml_collections.ConfigDict:
 
 
 def amazon_rum() -> ml_collections.ConfigDict:
-    """[B:11] RUM external-memory baseline on Amazon."""
+    """[B:11] RUM external-memory baseline on Amazon. k=64 measured knee
+    (104.5k ex/s/chip vs 11.2k at k=1, BASELINE.md)."""
     c = _amazon(base_config())
     c.model.name = "rum"
+    c.train.steps_per_dispatch = 64
     return c
 
 
 def amazon_gru4rec() -> ml_collections.ConfigDict:
-    """[B:11] GRU4Rec RNN baseline on Amazon."""
+    """[B:11] GRU4Rec RNN baseline on Amazon. k=64 measured knee
+    (266k ex/s/chip vs 10.4k at k=1, BASELINE.md)."""
     c = _amazon(base_config())
     c.model.name = "gru4rec"
+    c.train.steps_per_dispatch = 64
     return c
 
 

@@ -128,6 +128,7 @@ def test_train_resume_continues_from_restored_step(tmp_path, monkeypatch):
     cfg.n_examples = 400
     cfg.model.hpmn_layers = 1
     cfg.train.batch_size = 16
+    cfg.train.steps_per_dispatch = 1  # step-exact resume (config ships k=64)
     cfg.train.max_steps = 6
     cfg.train.eval_every = 3
     cfg.train.log_every = 1000
@@ -141,6 +142,7 @@ def test_train_resume_continues_from_restored_step(tmp_path, monkeypatch):
     cfg2.n_examples = 400
     cfg2.model.hpmn_layers = 1
     cfg2.train.batch_size = 16
+    cfg2.train.steps_per_dispatch = 1  # step-exact resume (config ships k=64)
     cfg2.train.max_steps = 12
     cfg2.train.eval_every = 3
     cfg2.train.log_every = 1000

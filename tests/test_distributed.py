@@ -117,6 +117,7 @@ from hpmn_tpu.train.train import train
 cfg = get_config("amazon_hpmn")
 cfg.n_examples = 600
 cfg.model.hpmn_layers = 1
+cfg.train.steps_per_dispatch = 1  # 6-step mini run (config ships k=64)
 cfg.train.batch_size = 8   # per host -> global 16 over the 2x2 mesh
 cfg.eval_batch_size = 16
 cfg.train.max_steps = 6

@@ -73,6 +73,7 @@ def test_sharded_train_step_matches_single_device(mode):
     cfg = get_config("amazon_hpmn")
     cfg.model.hpmn_layers = 2
     cfg.train.batch_size = 8
+    cfg.train.steps_per_dispatch = 1  # single-step test (config ships k=64)
     cfg.mesh.embedding_mode = mode
     batch = to_device_arrays(dummy_batch(8, 12, N_ITEMS, N_CATS, seed=5))
     tx = optax.adam(1e-3)
@@ -105,11 +106,46 @@ def test_sharded_train_step_matches_single_device(mode):
 
 
 @pytest.mark.heavy
+@pytest.mark.parametrize("model_name,mode",
+                         [("bst", "psum"), ("bst", "a2a"), ("dien", "psum")])
+def test_sharded_train_step_other_families(model_name, mode):
+    """The non-HPMN families ride the same model-agnostic sharding rules
+    (embedding rows over MODEL_AXIS, everything else replicated — BST's
+    pos/block params included): full train step on a (2 data x 4 model)
+    mesh == single device, for BST (both lookup collectives) and DIEN."""
+    mesh = make_mesh(model_parallel=4, devices=jax.devices()[:8])
+    cfg = get_config("amazon_hpmn")
+    cfg.model.name = model_name
+    cfg.train.batch_size = 8
+    cfg.train.steps_per_dispatch = 1  # single-step test (config ships k=64)
+    cfg.mesh.embedding_mode = mode
+    batch = to_device_arrays(dummy_batch(8, 12, N_ITEMS, N_CATS, seed=7))
+    tx = optax.adam(1e-3)
+
+    params0 = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+    (_, _), g0 = jax.value_and_grad(loss_fn, has_aux=True)(
+        params0, cfg, batch)
+    u0, _ = tx.update(g0, tx.init(params0), params0)
+    p_ref = optax.apply_updates(params0, u0)
+
+    params = init_sharded_model(jax.random.key(0), cfg, N_ITEMS, N_CATS, mesh)
+    opt_state = jax.device_put(tx.init(params),
+                               param_shardings(mesh, tx.init(params)))
+    jit_train, _ = make_sharded_steps(cfg, tx, mesh)
+    step = jit_train(params, opt_state)
+    params2, _, metrics = step(params, opt_state, shard_batch(mesh, batch))
+    assert np.isfinite(float(metrics["loss"]))
+    chex.assert_trees_all_close(jax.device_get(params2),
+                                jax.device_get(p_ref), atol=2e-5)
+
+
+@pytest.mark.heavy
 def test_data_parallel_only_mesh():
     """model_parallel=1: pure DP with replicated tables."""
     mesh = make_mesh(model_parallel=1, devices=jax.devices()[:8])
     cfg = get_config("amazon_hpmn")
     cfg.model.hpmn_layers = 2
+    cfg.train.steps_per_dispatch = 1  # single-step test (config ships k=64)
     cfg.mesh.embedding_mode = "replicated"
     batch = to_device_arrays(dummy_batch(16, 12, N_ITEMS, N_CATS, seed=6))
     tx = optax.adam(1e-3)

@@ -22,6 +22,10 @@ def _small_cfg(name="amazon_hpmn", **over):
     cfg.train.eval_every = 100
     cfg.train.log_every = 1000
     cfg.train.early_stop_patience = 100
+    # pin the dispatch shape: the configs ship measured k>1 throughput
+    # optima (BASELINE.md matrix), but this harness locks a fixed-seed
+    # 200-step trajectory — k changes step grouping past max_steps
+    cfg.train.steps_per_dispatch = 1
     for k, v in over.items():
         parts = k.split(".")
         ref = cfg
