@@ -47,6 +47,7 @@ cycle is update, then predict/rank).
 from __future__ import annotations
 
 import json
+import os
 import queue
 import socket
 import socketserver
@@ -592,9 +593,15 @@ def main(argv=None) -> None:
         # without replay if the name is later re-introduced via reload).
         import glob as _glob
 
+        from .journal import MAGIC
+
         for orphan in sorted(_glob.glob(args.journal + ".*")):
             name = orphan[len(args.journal) + 1:]
-            if name and name not in stores:
+            # A truncated journal is just the MAGIC header (save-on-exit
+            # truncates, never deletes) — zero events, nothing stranded;
+            # warning on it would train operators to ignore the alarm.
+            if (name and name not in stores
+                    and os.path.getsize(orphan) > len(MAGIC)):
                 print(f"warning: journal {orphan} belongs to model "
                       f"{name!r}, which is not configured — its events "
                       f"will NOT be replayed. Re-register the model with "
@@ -641,10 +648,14 @@ def main(argv=None) -> None:
             for name in sorted(live.stores,
                                key=lambda n: (n != "default", n)):
                 shared = live.bundles[name]
-                if shared in claimed:
+                # Key on the REAL path: './bundle', 'bundle/' and an
+                # absolute spelling are the same directory — a raw-string
+                # key would let two spellings defeat the clobber guard.
+                shared_key = os.path.realpath(shared)
+                if shared_key in claimed:
                     path = f"{shared}.{name}"
                     print(f"warning: model {name!r} shares a bundle path "
-                          f"with {claimed[shared]!r}; saving it "
+                          f"with {claimed[shared_key]!r}; saving it "
                           f"to {path} instead (re-register it with "
                           f"--extra_bundle {name}={path})", flush=True)
                     # Seed the subpath with the shared bundle's params/
@@ -653,7 +664,7 @@ def main(argv=None) -> None:
                     import shutil
                     shutil.copytree(shared, path, dirs_exist_ok=True)
                 else:
-                    claimed[shared] = name
+                    claimed[shared_key] = name
                     path = shared
                 saved_to[name] = path
             for name, st in list(live.stores.items()):

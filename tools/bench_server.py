@@ -125,7 +125,8 @@ def main(argv=None):
         import tempfile
 
         from hpmn_tpu.serving.journal import UpdateJournal
-        jpath = tempfile.mktemp(prefix="bench_journal_")
+        fd, jpath = tempfile.mkstemp(prefix="bench_journal_")
+        os.close(fd)  # journal appends; 0-byte file gets the MAGIC header
         journal = UpdateJournal(jpath, fsync=True)
     try:
         if args.saturation:

@@ -179,12 +179,13 @@ def main():
     # ---- BST attention (XLong lifelong shapes) ---------------------------
     # VERDICT r2 weak #1: the newest family's hot op gets the same
     # speed-of-light accounting as the GRU scan. Shapes: xlong_bst config
-    # (B=128, H=2, S=1001, dh=16). The PRODUCTION final block computes only
-    # the target-position query ([B,H,1,S] scores — O(S)); the chunked
-    # full-query op remains the inner-block path for bst_blocks > 1.
+    # (shipped B=256, H=2, S=1001, dh=16). The PRODUCTION final block
+    # computes only the target-position query ([B,H,1,S] scores — O(S));
+    # the chunked full-query op remains the inner-block path for
+    # bst_blocks > 1.
     from hpmn_tpu.models.extra_baselines import (_chunked_attention,
                                                  _dense_attention)
-    Ba, H, S, dh, chunk = 128, 2, 1001, 16, 128
+    Ba, H, S, dh, chunk = 256, 2, 1001, 16, 128
     qkv = jnp.asarray(rng.standard_normal((3, Ba, H, S, dh)), jnp.float32)
     kbias = jnp.zeros((Ba, S), jnp.float32)
 
