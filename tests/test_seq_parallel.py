@@ -176,6 +176,7 @@ def test_sp_train_step_pallas_inner_matches_single_device():
     try:
         mesh = make_sp_mesh(seq_parallel=4, devices=jax.devices()[:4])
         cfg = get_config("amazon_hpmn")
+        cfg.train.steps_per_dispatch = 1  # single-step test (config ships k=64)
         cfg.model.use_pallas = False
         cfg.model.hpmn_layers = 2
         cfg.mesh.embedding_mode = "replicated"
@@ -215,6 +216,7 @@ def test_composed_dp_sp_tp_step_matches_single_device(emode):
     mesh = make_mesh(model_parallel=2, seq_parallel=2,
                      devices=jax.devices()[:8])
     cfg = get_config("amazon_hpmn")
+    cfg.train.steps_per_dispatch = 1  # single-step test (config ships k=64)
     cfg.model.use_pallas = False
     cfg.model.hpmn_layers = 2
     cfg.mesh.embedding_mode = emode
@@ -250,6 +252,7 @@ def test_train_driver_routes_seq_parallel():
     from hpmn_tpu.train.train import train
 
     cfg = get_config("amazon_hpmn")
+    cfg.train.steps_per_dispatch = 1  # single-step test (config ships k=64)
     cfg.n_examples = 1200
     cfg.train.batch_size = 64
     cfg.train.max_steps = 30
@@ -269,6 +272,7 @@ def test_sp_multistep_matches_sequential():
 
     mesh = make_sp_mesh(seq_parallel=4, devices=jax.devices()[:4])
     cfg = get_config("amazon_hpmn")
+    cfg.train.steps_per_dispatch = 1  # single-step test (config ships k=64)
     cfg.model.use_pallas = False
     cfg.model.hpmn_layers = 2
     cfg.mesh.embedding_mode = "replicated"
@@ -298,6 +302,7 @@ def test_sp_multistep_matches_sequential():
 def test_make_sp_steps_guards():
     mesh = make_sp_mesh(seq_parallel=2, devices=jax.devices()[:2])
     cfg = get_config("amazon_hpmn")
+    cfg.train.steps_per_dispatch = 1  # single-step test (config ships k=64)
     cfg.mesh.embedding_mode = "psum"
     with pytest.raises(ValueError, match="replicated"):
         make_sp_steps(cfg, optax.sgd(1e-2), mesh)

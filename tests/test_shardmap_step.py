@@ -36,6 +36,7 @@ def test_shardmap_step_matches_single_device(use_pallas):
     try:
         mesh = make_mesh(model_parallel=4, devices=jax.devices()[:8])
         cfg = get_config("amazon_hpmn")
+        cfg.train.steps_per_dispatch = 1  # single-step test (config ships k=64)
         cfg.model.hpmn_layers = 2
         cfg.model.use_pallas = use_pallas
         cfg.mesh.embedding_mode = "psum"
@@ -74,6 +75,7 @@ def test_shardmap_multistep_matches_sequential():
 
     mesh = make_mesh(model_parallel=2, devices=jax.devices()[:4])
     cfg = get_config("amazon_hpmn")
+    cfg.train.steps_per_dispatch = 1  # single-step test (config ships k=64)
     cfg.model.hpmn_layers = 2
     cfg.mesh.embedding_mode = "psum"
     tx = optax.sgd(1e-2)
@@ -108,6 +110,7 @@ def test_gspmd_multistep_matches_sequential():
 
     mesh = make_mesh(model_parallel=1, devices=jax.devices()[:4])
     cfg = get_config("amazon_hpmn")
+    cfg.train.steps_per_dispatch = 1  # single-step test (config ships k=64)
     cfg.model.hpmn_layers = 2
     tx = optax.sgd(1e-2)
     batches = [to_device_arrays(dummy_batch(8, 12, N_ITEMS, N_CATS, seed=s))
