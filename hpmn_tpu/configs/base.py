@@ -250,12 +250,13 @@ def amazon_gru4rec() -> ml_collections.ConfigDict:
 def taobao_bst() -> ml_collections.ConfigDict:
     """BST Transformer (extra model family beyond the reference's set) on
     Taobao: one post-LN block per the BST paper, dense attention (T=300
-    fits; lifelong-T runs set bst_attn_chunk). B=256 / k=8 is the measured
-    throughput shape (41.4k ex/s/chip full train step, BASELINE.md)."""
+    fits; lifelong-T runs set bst_attn_chunk). B=256 / k=16 is the measured
+    knee (94.1k ex/s/chip full train step; k=8 41.4k, k=32 regresses to
+    81.7k, BASELINE.md)."""
     c = _taobao(base_config())
     c.model.name = "bst"
     c.train.batch_size = 256
-    c.train.steps_per_dispatch = 8
+    c.train.steps_per_dispatch = 16
     return c
 
 
@@ -264,13 +265,15 @@ def xlong_bst() -> ml_collections.ConfigDict:
     with the final block restricted to the target-position query (O(T), the
     r3 optimization — 82% of the r2 step was attention nothing downstream
     read) and the key-chunked online-softmax path available for
-    bst_blocks > 1 (no O(T^2) score matrix). B=256 / k=8 is the measured
-    optimum: 32.1k ex/s/chip vs 4.8k in r2 (tools/bench_breakdown.py
-    --config xlong_bst + tools/bench_config.py sweep, BASELINE.md)."""
+    bst_blocks > 1 (no O(T^2) score matrix). B=256 / k=16 is the measured
+    optimum: 36.2k ex/s/chip vs 4.8k in r2 — 32.1-33.5k at k=8
+    (tools/bench_breakdown.py --config xlong_bst + tools/bench_config.py
+    sweeps, BASELINE.md). B=512 did not finish compiling within the
+    10-minute probe budget on the tunneled chip; revisit on attached HW."""
     c = _xlong(base_config())
     c.model.name = "bst"
     c.train.batch_size = 256
-    c.train.steps_per_dispatch = 8
+    c.train.steps_per_dispatch = 16
     c.model.bst_attn_chunk = 128
     return c
 
