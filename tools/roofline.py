@@ -104,7 +104,11 @@ def main():
                    jnp.zeros(()))
     peak_bw = 2 * 4 * m / t_cp
     add("hbm_calibration_copy", t_cp, 0.0, 2 * 4 * m, "HBM stream",
-        "defines 100% peak GB/s")
+        "defines 100% peak GB/s — an ACHIEVED copy bound, ~2x below the "
+        "v5e datasheet (~819 GB/s), so fused ops that overlap reads/"
+        "writes or hold operands VMEM-resident can legitimately exceed "
+        "100% on this column (e.g. bst_attn_target_query, whose fwd+bwd "
+        "re-reads of k,v stay in VMEM)")
 
     # ---- layer-1 GRU scan (Pallas bf16), forward -----------------------
     params = gru_init(jax.random.key(0), D_IN, D_M)
