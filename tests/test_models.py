@@ -207,6 +207,54 @@ def test_bst_last_query_optimization_is_exact(batch, blocks, chunk):
                                    atol=2e-5, rtol=1e-4)
 
 
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@pytest.mark.heavy
+@settings(max_examples=40, deadline=None)
+@given(B=st.integers(1, 5), T=st.integers(1, 24),
+       blocks=st.integers(1, 3), chunk=st.sampled_from([0, 3, 5, 8]),
+       heads=st.sampled_from([1, 2, 4]), seed=st.integers(0, 5))
+def test_bst_encode_property(B, T, blocks, chunk, heads, seed):
+    """Randomized-shape sweep of the BST encoder (the GRU kernels' heavy
+    property protocol applied to the newest family): the production path —
+    chunked inner blocks (incl. chunk not dividing S) + target-query final
+    block — equals an all-queries dense-attention reference in values and
+    grads over random (B, T, blocks, chunk, heads) and random key masks."""
+    from hpmn_tpu.models import extra_baselines as eb
+
+    cfg = get_config("amazon_hpmn")
+    cfg.model.bst_blocks = blocks
+    d = 8
+    key = jax.random.key(seed)
+    kp, kx, kq, km = jax.random.split(key, 4)
+    p = eb._bst_init(kp, cfg, d, jnp.float32)
+    x = jax.random.normal(kx, (B, T, d), jnp.float32)
+    q = jax.random.normal(kq, (B, d), jnp.float32)
+    mask = (jax.random.uniform(km, (B, T)) < 0.8).astype(jnp.float32)
+
+    def out_prod(p, x, q):
+        return jnp.sum(jnp.sin(eb._bst_encode(p, x, mask, q, heads,
+                                              attn_chunk=chunk)))
+
+    def out_ref(p, x, q):
+        h = (jnp.concatenate([x, q[:, None, :]], axis=1)
+             + p["pos"][None, :T + 1])
+        kmask = jnp.concatenate([mask, jnp.ones_like(mask[:, :1])], axis=1)
+        kbias = (1.0 - kmask) * jnp.asarray(-1e9, jnp.float32)
+        for blk in p["blocks"]:
+            h = eb._bst_block(blk, h, kbias, heads, attn_chunk=0,
+                              last_query_only=False)
+        return jnp.sum(jnp.sin(h[:, -1, :]))
+
+    l1, g1 = jax.value_and_grad(out_prod, argnums=(0, 1, 2))(p, x, q)
+    l2, g2 = jax.value_and_grad(out_ref, argnums=(0, 1, 2))(p, x, q)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=2e-4)
+
+
 def test_bst_bf16_matches_f32(batch):
     """bst_dtype=bfloat16 (bf16 matmul operands; f32 softmax stats,
     layer-norm moments and accumulation) tracks the f32 path within bf16
