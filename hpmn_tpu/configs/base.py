@@ -268,8 +268,8 @@ def xlong_bst() -> ml_collections.ConfigDict:
     bst_blocks > 1 (no O(T^2) score matrix). B=256 / k=16 is the measured
     optimum: 36.2k ex/s/chip vs 4.8k in r2 — 32.1-33.5k at k=8
     (tools/bench_breakdown.py --config xlong_bst + tools/bench_config.py
-    sweeps, BASELINE.md). B=512 did not finish compiling within the
-    10-minute probe budget on the tunneled chip; revisit on attached HW."""
+    sweeps, BASELINE.md). B=512/k=8 measured WORSE (32.6k) — at T=1000
+    the attention/FFN streams already fill the chip at B=256."""
     c = _xlong(base_config())
     c.model.name = "bst"
     c.train.batch_size = 256
