@@ -21,9 +21,15 @@ Design (anchored by a measured truth chain, 2026-08-17):
 The gate therefore computes three legs per config — xla_highest (anchor),
 xla_default, pallas — and passes iff:
 
-  loss:   |loss_pallas - loss_anchor| < loss_atol
+  loss:   |loss_pallas - loss_anchor| < max(loss_atol,
+          ratio * |loss_xla_default - loss_anchor|)
   grads:  rel(pallas, anchor) < max(grad_floor, ratio * rel(xla_default,
           anchor))     where rel = worst-element |diff| / max|anchor grad|
+
+(both rules are relative to the DEFAULT-precision XLA path's own distance
+from the anchor: the fast path must add no error beyond the platform's
+stock compiled precision, whose absolute size varies by config — e.g. the
+T=1000 BST attention drifts ~1e-4 in loss at default MXU precision.)
 
 i.e. Pallas must stay within ``ratio``x of XLA's own compiled-precision
 noise (ratio 2.0), with a small absolute floor so near-exact configs don't
@@ -91,15 +97,21 @@ def check_config(name: str, batch_size: int = 64, seed: int = 0):
     loss_x, g_x = run(False, "default")
     loss_p, g_p = run(True, "default")
 
+    return _verdict(loss_a, loss_x, loss_p, g_a, g_x, g_p)
+
+
+def _verdict(loss_a, loss_x, loss_p, g_a, g_x, g_p):
     scale = float(np.max(np.abs(g_a)))
     rel_x = float(np.max(np.abs(g_x - g_a))) / scale
     rel_p = float(np.max(np.abs(g_p - g_a))) / scale
     loss_diff = abs(loss_p - loss_a)
+    loss_diff_xla = abs(loss_x - loss_a)
 
-    ok = (loss_diff < LOSS_ATOL
+    ok = (loss_diff < max(LOSS_ATOL, RATIO * loss_diff_xla)
           and rel_p < max(GRAD_FLOOR, RATIO * rel_x))
     return {
         "loss_diff": loss_diff,
+        "loss_diff_xla": loss_diff_xla,
         "rel_pallas": rel_p,
         "rel_xla": rel_x,
         "grad_scale": scale,
@@ -107,16 +119,78 @@ def check_config(name: str, batch_size: int = 64, seed: int = 0):
     }
 
 
+def check_bst_target_query(batch_size: int = 32, seed: int = 0):
+    """Anchor the r3 BST optimization on real hardware: the production
+    encoder (target-query final block, O(S)) vs the all-queries reference
+    block, both COMPILED on chip. The claim is algebraic exactness
+    (ARCHITECTURE §3b, CPU-tested in tests/test_models.py); this leg gates
+    the compiled realization with the same anchor/ratio rule as the Pallas
+    legs — the production path must add no error beyond the reference
+    path's own compiled-precision noise."""
+    import jax.numpy as jnp
+
+    from hpmn_tpu.configs import get_config
+    from hpmn_tpu.data.schema import dummy_batch, to_device_arrays
+    from hpmn_tpu.data.synthetic import SPECS
+    from hpmn_tpu.models import extra_baselines as eb
+    from hpmn_tpu.models import init_model, loss_fn
+
+    cfg = get_config("xlong_bst")
+    spec = SPECS[cfg.dataset]
+    batch = to_device_arrays(dummy_batch(
+        batch_size, spec.seq_len, n_items=spec.n_items, n_cats=spec.n_cats,
+        seed=seed))
+    params = init_model(jax.random.key(seed), cfg, spec.n_items, spec.n_cats)
+
+    def full_encode(p, x, mask, q, heads, attn_chunk=0, compute_dtype=None):
+        # the pre-optimization pipeline: every block runs all S queries
+        h = (jnp.concatenate([x, q[:, None, :]], axis=1)
+             + p["pos"][None, :x.shape[1] + 1]).astype(compute_dtype
+                                                       or x.dtype)
+        kmask = jnp.concatenate([mask, jnp.ones_like(mask[:, :1])], axis=1)
+        kbias = (1.0 - kmask) * jnp.asarray(-1e9, jnp.float32)
+        for blk in p["blocks"]:
+            h = eb._bst_block(blk, h, kbias, heads, attn_chunk,
+                              last_query_only=False)
+        return h[:, -1, :].astype(x.dtype)
+
+    def run(encode_fn, precision: str):
+        orig = eb._bst_encode
+        if encode_fn is not None:
+            eb._bst_encode = encode_fn
+        try:
+            with jax.default_matmul_precision(precision):
+                f = jax.jit(jax.value_and_grad(
+                    lambda p: loss_fn(p, cfg, batch)[0]))
+                loss, grads = f(params)
+                jax.block_until_ready(grads)
+        finally:
+            eb._bst_encode = orig
+        flat = np.concatenate([np.ravel(np.asarray(g))
+                               for g in jax.tree.leaves(grads)])
+        return float(loss), flat.astype(np.float64)
+
+    loss_a, g_a = run(full_encode, "highest")   # on-chip truth anchor
+    loss_x, g_x = run(full_encode, "default")
+    loss_p, g_p = run(None, "default")          # production encoder
+
+    return _verdict(loss_a, loss_x, loss_p, g_a, g_x, g_p)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs",
-                    default="xlong_hpmn,taobao_dien,xlong_hpmn+stride")
+                    default="xlong_hpmn,taobao_dien,xlong_hpmn+stride,"
+                            "xlong_bst+tq")
     ap.add_argument("--batch_size", type=int, default=64)
     args = ap.parse_args()
 
     out = {"platform": jax.devices()[0].platform, "configs": {}}
     for name in args.configs.split(","):
-        out["configs"][name] = check_config(name, args.batch_size)
+        if name == "xlong_bst+tq":
+            out["configs"][name] = check_bst_target_query()
+        else:
+            out["configs"][name] = check_config(name, args.batch_size)
         print(f"# {name}: {out['configs'][name]}", file=sys.stderr)
     out["pass"] = all(c["pass"] for c in out["configs"].values())
     print(json.dumps(out))
