@@ -653,7 +653,11 @@ def main(argv=None) -> None:
                 # key would let two spellings defeat the clobber guard.
                 shared_key = os.path.realpath(shared)
                 if shared_key in claimed:
-                    path = f"{shared}.{name}"
+                    # Build the divert path from a normalized spelling: a
+                    # trailing slash ('--bundle bundle/') would otherwise
+                    # nest a hidden 'bundle/.canary' INSIDE the shared
+                    # bundle and copytree would copy it into itself.
+                    path = shared.rstrip(os.sep) + f".{name}"
                     print(f"warning: model {name!r} shares a bundle path "
                           f"with {claimed[shared_key]!r}; saving it "
                           f"to {path} instead (re-register it with "

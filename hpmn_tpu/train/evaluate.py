@@ -71,24 +71,17 @@ def _evaluate_streaming(eval_step: Callable, params, loader: DataLoader,
                         np.asarray(batch.label)[:n_valid],
                         np.asarray(batch.uid)[:n_valid])
     if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
         pos, neg, ll, n = acc.state
-        # int64 counts must NOT travel as floats: with x64 disabled the
-        # allgather canonicalizes float64 -> float32, truncating any count
-        # above 2^24 — exactly the production-scale regime this estimator
-        # exists for. Split each count into 31-bit halves (exact to 2^62).
-        ints = np.concatenate([pos, neg, [n]])
-        packed = np.stack([(ints % (1 << 31)).astype(np.int32),
-                           (ints >> 31).astype(np.int32)])
-        gathered = np.asarray(
-            multihost_utils.process_allgather(packed),
-            np.int64)  # [P, 2, 2b+1]
-        ll_all = np.asarray(multihost_utils.process_allgather(
-            np.float32(ll)), np.float64)  # f32 rounding ~1e-7 rel: fine
+        # int64 counts and the f64 log-loss sum must NOT travel as jax's
+        # canonicalized 32-bit types (counts above 2^24 truncate — exactly
+        # the production-scale regime this estimator exists for); ship the
+        # exact 64-bit payloads (uint32-pair bit transport).
+        ints = np.concatenate([pos, neg, [n]]).astype(np.int64)
+        gathered = _allgather_bits64(ints)  # [P, 2b+1] exact
+        ll_all = _allgather_bits64(np.asarray([ll], np.float64))[:, 0]
         acc = M.StreamingAUC(n_bins)
         for p in range(gathered.shape[0]):
-            row = gathered[p, 0] + (gathered[p, 1] << 31)
+            row = gathered[p]
             acc.merge_counts(row[:n_bins], row[n_bins:2 * n_bins],
                              float(ll_all[p]), int(row[-1]))
         if gacc is not None:
@@ -103,32 +96,27 @@ def _evaluate_streaming(eval_step: Callable, params, loader: DataLoader,
 def _merge_gauc_across_hosts(gacc, gauc_bins: int, gauc_max_users: int):
     """All-gather the per-host StreamingGAUC states (ragged user counts:
     pad to the max, same idiom as _merge_across_hosts) and fold them into
-    one accumulator by per-uid histogram addition. uids ride as two 31-bit
-    int32 halves — the histogram counts are int32 already, which the
-    allgather transports exactly (only int64/float64 get canonicalized)."""
+    one accumulator by per-uid histogram addition. uids ride through the
+    exact 64-bit transport; the histogram counts are int32 already, which
+    the allgather transports exactly (only 64-bit dtypes canonicalize)."""
     from jax.experimental import multihost_utils
 
     uids, hists = gacc.state  # [U] int64, [U, 2, gauc_bins] int32
-    u_cnt = np.int64(len(uids))
-    u_all = multihost_utils.process_allgather(u_cnt)
+    u_all = _allgather_bits64(np.asarray([len(uids)], np.int64))[:, 0]
     u_max = int(u_all.max())
     pad = u_max - len(uids)
-    uid_packed = np.stack([(uids % (1 << 31)).astype(np.int32),
-                           (uids >> 31).astype(np.int32)])  # [2, U]
-    uid_packed = np.pad(uid_packed, ((0, 0), (0, pad)))
+    g_uids = _allgather_bits64(
+        np.pad(uids.astype(np.int64), (0, pad)))  # [P, u_max] exact
     hist_flat = np.pad(hists.reshape(len(uids), 2 * gauc_bins),
                        ((0, pad), (0, 0)))  # [u_max, 2*gauc_bins]
     # (explicit second dim: reshape(-1) is ambiguous for zero-user hosts)
-    g_uids = np.asarray(
-        multihost_utils.process_allgather(uid_packed), np.int64)
     g_hists = np.asarray(
         multihost_utils.process_allgather(hist_flat), np.int32)
     merged = type(gacc)(gauc_bins, gauc_max_users)
     for p in range(g_uids.shape[0]):
         k = int(u_all[p])
-        row_uids = g_uids[p, 0, :k] + (g_uids[p, 1, :k] << 31)
         merged.merge_state(
-            row_uids, g_hists[p, :k].reshape(k, 2, gauc_bins))
+            g_uids[p, :k], g_hists[p, :k].reshape(k, 2, gauc_bins))
     return merged
 
 
@@ -155,27 +143,51 @@ def _local_rows(arr, n_local: int) -> np.ndarray:
     return np.concatenate([seen[k] for k in sorted(seen)])[:n_local]
 
 
+def _allgather_bits64(x: np.ndarray) -> np.ndarray:
+    """Exact multi-host all-gather of 64-bit payloads. With x64 disabled
+    (the default) ``process_allgather`` canonicalizes float64 -> float32
+    and int64 -> int32, silently collapsing uids above 2^24, counts above
+    2^31, and logit ties — exactly the production regime (hashed/large uid
+    spaces) the merge exists for. Shipping the raw bit pattern as a uint32
+    pair is exact for ANY 64-bit value (uint32 is a native jax dtype and
+    never canonicalizes). Returns [n_processes, *x.shape] in x.dtype.
+
+    This is THE transport for both the exact and streaming eval merges
+    (SURVEY.md §5.5; VERDICT r3 weak #1)."""
+    from jax.experimental import multihost_utils
+
+    x = np.ascontiguousarray(x)
+    assert x.dtype.itemsize == 8, x.dtype
+    u = x.view(np.uint32).reshape(x.shape + (2,))
+    g = np.asarray(multihost_utils.process_allgather(u))
+    return np.ascontiguousarray(g).view(x.dtype).reshape(
+        (g.shape[0],) + x.shape)
+
+
 def _merge_across_hosts(logits: np.ndarray, labels: np.ndarray,
                         uids: np.ndarray):
     """All-gather per-host (logits, labels, uids) shards, padded to the max
     shard length (ragged shards arise when the eval set doesn't divide
     evenly). uids travel too so GAUC groups users whose examples span
-    hosts (the loader shards examples round-robin, not by user)."""
-    from jax.experimental import multihost_utils
-
-    n = np.int64(len(logits))
-    n_all = multihost_utils.process_allgather(n)
+    hosts (the loader shards examples round-robin, not by user). All three
+    streams ride the bit-exact transport: logits keep full f64 precision
+    (tie behavior preserved) and uids survive any 64-bit id space — int64
+    uid bits travel viewed as float64 rows and are viewed back on arrival."""
+    n = np.asarray([len(logits)], np.int64)
+    n_all = _allgather_bits64(n)[:, 0]
     n_max = int(n_all.max())
     pad = n_max - len(logits)
     packed = np.stack([
-        np.pad(logits.astype(np.float64), (0, pad)),
-        np.pad(labels.astype(np.float64), (0, pad)),
-        np.pad(uids.astype(np.float64), (0, pad)),
+        np.pad(np.asarray(logits, np.float64), (0, pad)),
+        np.pad(np.asarray(labels, np.float64), (0, pad)),
+        np.pad(np.asarray(uids, np.int64), (0, pad)).view(np.float64),
     ])
-    gathered = multihost_utils.process_allgather(packed)  # [P, 3, n_max]
+    gathered = _allgather_bits64(packed)  # [P, 3, n_max] bit-exact
     outs = [[], [], []]
     for p in range(gathered.shape[0]):
         k = int(n_all[p])
         for i in range(3):
-            outs[i].append(gathered[p, i, :k])
-    return tuple(np.concatenate(o) for o in outs)
+            outs[i].append(np.ascontiguousarray(gathered[p, i, :k]))
+    merged = [np.concatenate(o) for o in outs]
+    merged[2] = merged[2].view(np.int64)
+    return tuple(merged)

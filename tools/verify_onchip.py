@@ -182,13 +182,19 @@ def main():
     ap.add_argument("--configs",
                     default="xlong_hpmn,taobao_dien,xlong_hpmn+stride,"
                             "xlong_bst+tq")
-    ap.add_argument("--batch_size", type=int, default=64)
+    ap.add_argument("--batch_size", type=int, default=64,
+                    help="batch size for the per-config Pallas legs")
+    ap.add_argument("--bst_batch_size", type=int, default=32,
+                    help="batch size for the xlong_bst+tq leg (smaller "
+                         "default: its reference side materializes the "
+                         "O(S^2) all-queries attention)")
     args = ap.parse_args()
 
     out = {"platform": jax.devices()[0].platform, "configs": {}}
     for name in args.configs.split(","):
         if name == "xlong_bst+tq":
-            out["configs"][name] = check_bst_target_query()
+            out["configs"][name] = check_bst_target_query(
+                args.bst_batch_size)
         else:
             out["configs"][name] = check_config(name, args.batch_size)
         print(f"# {name}: {out['configs'][name]}", file=sys.stderr)
