@@ -125,6 +125,19 @@ def base_config() -> ml_collections.ConfigDict:
     c.mesh.model_axis = "model"
     c.mesh.model_parallel = 1  # table-shard count; 1 = no model parallelism
     c.mesh.embedding_mode = "replicated"  # replicated | psum | a2a (row-sharded)
+    # Shard the batch over ("data", "model") in the shard_map step instead
+    # of replicating it over "model": each model shard computes the dense
+    # tower on its OWN batch slice and the bucketed a2a lookup exchanges
+    # only owned rows — per-shard embedding wire falls from ~N*d to
+    # ~2*f*N*d/S (ARCHITECTURE §5) and the dense compute parallelizes over
+    # S more devices. Requires embedding_mode="a2a" when model_parallel>1.
+    c.mesh.batch_over_model = False
+    # Static per-owner bucket capacity = ceil(ceil(N/S)*f) for the bucketed
+    # a2a exchange. Any per-owner overflow (e.g. frequency-sorted vocabs
+    # skewing load onto the shard owning the hot rows) falls back to an
+    # exact all_gather+psum pass for that batch — correct, slower; raise f
+    # if the fallback fires chronically.
+    c.mesh.a2a_capacity_factor = 2.0
     # Sequence parallelism (parallel/seq_parallel.py): shard the T axis of
     # the long scans over a "seq" mesh axis with pipelined carry handoff.
     # Mutually exclusive with model_parallel/use_pallas in v1 (enforced).
@@ -134,6 +147,11 @@ def base_config() -> ml_collections.ConfigDict:
     c.mesh.sp_inner = "jnp"  # chunk-scan impl: jnp | pallas (fused kernel)
 
     c.eval_batch_size = 256
+    # Eval batches fused per device dispatch (lax.map over stacked batches
+    # — the train path's steps_per_dispatch economics applied to the eval
+    # loop; logits identical). Single-host only; multi-host evals fall
+    # back to per-batch dispatches.
+    c.eval_steps_per_dispatch = 1
     c.eval_streaming_bins = 0  # >0: bounded-memory histogram AUC/GAUC
     # Streaming-mode GAUC: per-user [2, eval_gauc_bins] int32 histograms —
     # O(users) memory, independent of impression count. 0 disables (gauc =

@@ -13,14 +13,30 @@ Two interchangeable modes (equivalence-tested against the dense gather):
   is local HBM traffic. The VJP is automatic (psum ↔ identity,
   masked-gather ↔ scatter-add into the owning shard).
 
-- ``a2a``: the SURVEY.md §7 bucketed exchange — each model-shard takes a
-  1/n_model slice of the local id list, sends each id to its owning shard
-  with ``all_to_all`` (static per-shard capacity with overflow-to-psum
-  fallback is avoided by capacity = slice length: every id is sent, owners
-  answer every query), gathers locally, sends rows back with a second
-  ``all_to_all``, and an ``all_gather`` reassembles the batch. Moves
-  2/n_model of the activation volume through a2a instead of a full psum —
-  the better scaling regime when n_model is large.
+- ``a2a``: the SURVEY.md §7 sort-by-owner bucketed exchange
+  (``bucketed_gather``): each shard sorts ITS OWN queries by owning shard
+  (device-side ``sort_key_val``), scatters them into an [S, C] send buffer
+  with static per-owner capacity C = ceil(ceil(N/S) * capacity_factor),
+  ``all_to_all``s the buckets to their owners, gathers owned rows locally,
+  ``all_to_all``s the answer rows back, and inverse-permutes. Duplicate ids
+  simply occupy two slots (and their cotangents scatter-add). Overflow
+  policy: if ANY shard's per-owner count exceeds C (the flag is psum'd so
+  every shard agrees), the whole lookup falls back to an exact
+  all_gather(ids) + masked-gather + psum pass for that batch — correct
+  always, slower, and a signal to raise ``mesh.a2a_capacity_factor``
+  (frequency-sorted vocabs skew owner load under contiguous row
+  ownership).
+
+Wire volume per shard, each way (derivation in ARCHITECTURE §5): the
+bucketed exchange moves ~capacity_factor * N_local * d rows where N_local
+is the shard's OWN query count. Under ``mesh.batch_over_model`` (batch
+sharded over ("data", "model"), ids naturally shard-local) that is
+~2 * f * N * d / S per shard for a per-data-replica batch of N ids — the
+scaling regime TP exists for. Under the replicated-ids contract
+(``local_lookup_fn`` / ``make_sharded_lookup``, batch sharded over "data"
+only) each shard exchanges buckets for its 1/S slice but the final
+``all_gather`` that re-replicates the output still moves ~N*d — same order
+as psum; use batch_over_model to actually win.
 
 Row ownership is contiguous: shard s owns rows [s*R, (s+1)*R), R = ceil(V/S)
 (tables are padded to S*R rows by ``pad_vocab``).
@@ -57,36 +73,208 @@ def _owned_gather_psum(table: jax.Array, ids: jax.Array,
     return jax.lax.psum(rows, axis)
 
 
-def _owned_gather_a2a(table: jax.Array, ids: jax.Array,
-                      axis: str, n_shards: int) -> jax.Array:
-    """Bucketed all_to_all exchange (see module docstring). ids: [N] with
-    N % n_shards == 0 (callers pad)."""
+def _capacity(n_local: int, n_shards: int, factor: float) -> int:
+    """Static per-owner bucket capacity: factor x the balanced load, at
+    least 1, never above n_local (beyond which padding is pure waste)."""
+    import math
+
+    return max(1, min(n_local, math.ceil(-(-n_local // n_shards) * factor)))
+
+
+def _bucket_slots(ids: jax.Array, n_shards: int, rows_per: int, cap: int):
+    """Sort local ids by owning shard -> (perm, slot, overflow).
+
+    perm: [N] stable sort permutation (ids_sorted = ids[perm]).
+    slot: [N] position of each SORTED query in the flat [S*cap] send
+    buffer (owner*cap + rank-within-owner), or S*cap when its bucket
+    overflowed capacity. overflow: scalar bool, this shard only.
+    """
+    N = ids.shape[0]
+    owner = (ids // rows_per).astype(jnp.int32)
+    owner_sorted, perm = jax.lax.sort_key_val(
+        owner, jnp.arange(N, dtype=jnp.int32))
+    starts = jnp.searchsorted(owner_sorted,
+                              jnp.arange(n_shards, dtype=jnp.int32))
+    rank = jnp.arange(N, dtype=jnp.int32) - starts[owner_sorted]
+    over = rank >= cap
+    slot = jnp.where(over, n_shards * cap, owner_sorted * cap + rank)
+    return perm, slot, jnp.any(over)
+
+
+def _gather_all_psum(table: jax.Array, ids: jax.Array, axis: str,
+                     n_shards: int) -> jax.Array:
+    """Exact local-queries gather via all_gather + masked gather + psum —
+    the overflow fallback (wire ~S*N*d; always correct)."""
     shard = jax.lax.axis_index(axis)
     rows_per = table.shape[0]
     N = ids.shape[0]
-    chunk = N // n_shards
-    # This shard handles its 1/S slice of the queries.
-    my_ids = jax.lax.dynamic_slice(ids, (shard * chunk,), (chunk,))
-    # Sort my queries by owning shard so all_to_all sends equal-size,
-    # owner-contiguous buckets... capacities are ragged in general, so we
-    # instead send the FULL slice to every owner (capacity = chunk): each
-    # owner answers the subset it owns, a second a2a returns answers, and
-    # the sum over owners reconstructs every row exactly once.
-    bcast = jnp.broadcast_to(my_ids, (n_shards, chunk))  # row k -> owner k
-    recv = jax.lax.all_to_all(bcast, axis, split_axis=0, concat_axis=0,
-                              tiled=False)  # [S, chunk] queries from each src
-    local = recv - shard * rows_per
+    gids = jax.lax.all_gather(ids, axis, tiled=True)  # [S*N]
+    local = gids - shard * rows_per
     mine = (local >= 0) & (local < rows_per)
     rows = jnp.take(table, jnp.clip(local, 0, rows_per - 1), axis=0)
-    rows = jnp.where(mine[..., None], rows, 0)  # [S, chunk, d]
-    back = jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=0,
-                              tiled=False)  # [S, chunk, d] answers per owner
-    my_rows = jnp.sum(back, axis=0)  # [chunk, d] — each id owned by one shard
-    # Reassemble the full [N, d] across the model axis.
+    full = jax.lax.psum(jnp.where(mine[:, None], rows, 0), axis)
+    return jax.lax.dynamic_slice_in_dim(full, shard * N, N, 0)
+
+
+def _scatter_owned(g: jax.Array, local: jax.Array, rows_per: int,
+                   scale: float) -> jax.Array:
+    """Sum cotangent rows per owned local row id (ids already in range;
+    padded slots carry zero cotangent). MXU one-hot aggregation below the
+    measured crossover, XLA scatter-add above (ARCHITECTURE §4)."""
+    if rows_per <= SMALL_VOCAB_MAX:
+        dt = matmul_agg(local.astype(jnp.int32), g.astype(jnp.float32),
+                        rows_per).astype(g.dtype)
+    else:
+        dt = jnp.zeros((rows_per, g.shape[-1]), g.dtype).at[local].add(g)
+    return dt * scale if scale != 1.0 else dt
+
+
+def bucketed_gather(table: jax.Array, ids: jax.Array, *, axis: str,
+                    n_shards: int, capacity: int,
+                    table_grad_scale: float = 1.0) -> jax.Array:
+    """Sort-by-owner bucketed a2a row exchange, LOCAL-queries contract.
+
+    For use INSIDE a shard_map with ``axis`` in scope: ``ids`` [N] are THIS
+    shard's own queries (arbitrary content, any N — no divisibility or
+    replication requirement); returns [N, d] complete rows, local to this
+    shard. See the module docstring for the algorithm, wire volume, and the
+    psum'd overflow fallback. SURVEY.md §7 hard part 2, [B:5].
+
+    The VJP is explicit: cotangent rows travel the inverse bucket exchange
+    (one a2a) to their owning shard, which scatter-adds them into its table
+    gradient — scaled by ``table_grad_scale`` (batch-over-model steps pass
+    1/n_model so that the a2a's sum-over-sources composes with the data-axis
+    pmean into the exact global-mean gradient; see make_shardmap_steps).
+    """
+    rows_per = table.shape[0]
+    cap = capacity
+
+    def _a2a_path(args):
+        tab, ids_ = args
+        shard = jax.lax.axis_index(axis)
+        perm, slot, _ = _bucket_slots(ids_, n_shards, rows_per, cap)
+        ids_sorted = jnp.take(ids_, perm)
+        # Pad slot k of bucket o with row 0 of owner o: in-range on the
+        # owner, answered, never read back (and zero-cotangent on the way
+        # back, so no spurious gradient).
+        pad_ids = (jnp.arange(n_shards * cap, dtype=ids_.dtype)
+                   // cap) * rows_per
+        send = pad_ids.at[slot].set(ids_sorted, mode="drop")
+        recv = jax.lax.all_to_all(send.reshape(n_shards, cap), axis,
+                                  split_axis=0, concat_axis=0)  # [S, cap]
+        local = jnp.clip(recv - shard * rows_per, 0, rows_per - 1)
+        rows = jnp.take(tab, local, axis=0)  # [S, cap, d]
+        back = jax.lax.all_to_all(rows, axis, split_axis=0, concat_axis=0)
+        out_sorted = jnp.take(back.reshape(n_shards * cap, -1), slot,
+                              axis=0, mode="fill", fill_value=0)
+        out = jnp.zeros((ids_.shape[0], tab.shape[-1]), tab.dtype)
+        return out.at[perm].set(out_sorted), local
+
+    def _fallback_path(args):
+        tab, ids_ = args
+        return _gather_all_psum(tab, ids_, axis, n_shards), \
+            jnp.zeros((n_shards, cap), jnp.int32)
+
+    def _overflow_flag(ids_):
+        _, _, over = _bucket_slots(ids_, n_shards, rows_per, cap)
+        return jax.lax.psum(over.astype(jnp.int32), axis) > 0
+
+    @jax.custom_vjp
+    def _gather(tab, ids_):
+        over = _overflow_flag(ids_)
+        out, _ = jax.lax.cond(over, _fallback_path, _a2a_path, (tab, ids_))
+        return out
+
+    def _fwd(tab, ids_):
+        over = _overflow_flag(ids_)
+        out, local = jax.lax.cond(over, _fallback_path, _a2a_path,
+                                  (tab, ids_))
+        return out, (ids_, local, over)
+
+    def _bwd(res, g):
+        ids_, local, over = res
+
+        def _a2a_bwd(args):
+            g_, local_ = args
+            perm, slot, _ = _bucket_slots(ids_, n_shards, rows_per, cap)
+            g_sorted = jnp.take(g_, perm, axis=0)
+            g_send = jnp.zeros((n_shards * cap, g_.shape[-1]), g_.dtype
+                               ).at[slot].set(g_sorted, mode="drop")
+            g_back = jax.lax.all_to_all(
+                g_send.reshape(n_shards, cap, -1), axis,
+                split_axis=0, concat_axis=0)  # [S, cap, d] at the owner
+            return _scatter_owned(g_back.reshape(n_shards * cap, -1),
+                                  local_.reshape(-1), rows_per,
+                                  table_grad_scale)
+
+        def _fallback_bwd(args):
+            g_, _ = args
+            shard = jax.lax.axis_index(axis)
+            g_all = jax.lax.all_gather(g_, axis, tiled=True)  # [S*N, d]
+            gids = jax.lax.all_gather(ids_, axis, tiled=True)
+            loc = gids - shard * rows_per
+            mine = (loc >= 0) & (loc < rows_per)
+            return _scatter_owned(jnp.where(mine[:, None], g_all, 0),
+                                  jnp.clip(loc, 0, rows_per - 1),
+                                  rows_per, table_grad_scale)
+
+        dt = jax.lax.cond(over, _fallback_bwd, _a2a_bwd, (g, local))
+        return dt, None
+
+    _gather.defvjp(_fwd, _bwd)
+    return _gather(table, ids)
+
+
+def _owned_gather_a2a(table: jax.Array, ids: jax.Array, axis: str,
+                      n_shards: int, capacity_factor: float = 2.0
+                      ) -> jax.Array:
+    """Replicated-ids contract on top of ``bucketed_gather``: each shard
+    takes its 1/S slice of the (model-replicated) id list, runs the
+    bucketed exchange for it, and an ``all_gather`` re-replicates the
+    output. ids: [N] with N % n_shards == 0 (callers pad). The all_gather
+    moves ~N*d — the batch_over_model path avoids it (module docstring)."""
+    shard = jax.lax.axis_index(axis)
+    N = ids.shape[0]
+    chunk = N // n_shards
+    my_ids = jax.lax.dynamic_slice(ids, (shard * chunk,), (chunk,))
+    my_rows = bucketed_gather(
+        table, my_ids, axis=axis, n_shards=n_shards,
+        capacity=_capacity(chunk, n_shards, capacity_factor))
     return jax.lax.all_gather(my_rows, axis, axis=0, tiled=True)
 
 
-def local_lookup_fn(n_shards: int, mode: str = "psum") -> Callable:
+def local_bucketed_lookup_fn(n_shards: int, capacity_factor: float = 2.0,
+                             table_grad_scale: float = 1.0) -> Callable:
+    """Collective lookup for batch-over-model shard_map steps: ids are THIS
+    shard's local queries (batch sharded over ("data", "model")), returned
+    rows stay local — no re-replicating all_gather, so per-shard wire is
+    ~2 * capacity_factor * N_local * d (module docstring; ARCHITECTURE §5).
+
+    ``table_grad_scale``: the exchange's VJP sums cotangents over the S
+    model-shard sources (the true transpose); a step whose loss is the mean
+    over each shard's LOCAL batch passes 1/n_shards so that sum composes
+    with the data-axis pmean into the global-mean gradient, while l2-style
+    direct-param gradients (not routed through the lookup) stay unscaled.
+    """
+
+    def one_table(table, ids):
+        flat = ids.reshape(-1)
+        out = bucketed_gather(
+            table, flat, axis=MODEL_AXIS, n_shards=n_shards,
+            capacity=_capacity(flat.shape[0], n_shards, capacity_factor),
+            table_grad_scale=table_grad_scale)
+        return out.reshape(*ids.shape, table.shape[-1])
+
+    def lookup(emb, item_ids, cat_ids):
+        return jnp.concatenate([one_table(emb["item"], item_ids),
+                                one_table(emb["cat"], cat_ids)], axis=-1)
+
+    lookup.user = lambda emb, uid: one_table(emb["user"], uid)
+    return lookup
+
+
+def local_lookup_fn(n_shards: int, mode: str = "psum",
+                    capacity_factor: float = 2.0) -> Callable:
     """Collective lookup for use INSIDE an enclosing shard_map over
     ("data", "model"): takes the LOCAL table shards and replicated-over-
     model local ids, returns complete rows (same math as
@@ -108,7 +296,8 @@ def local_lookup_fn(n_shards: int, mode: str = "psum") -> Callable:
         elif mode == "a2a":
             pad = (-flat.shape[0]) % n_shards
             padded = jnp.pad(flat, (0, pad))
-            out = _owned_gather_a2a(table, padded, MODEL_AXIS, n_shards)
+            out = _owned_gather_a2a(table, padded, MODEL_AXIS, n_shards,
+                                    capacity_factor)
             return out[:flat.shape[0]]
         raise ValueError(f"unknown embedding mode {mode!r}")
 
@@ -148,7 +337,8 @@ def local_lookup_fn(n_shards: int, mode: str = "psum") -> Callable:
     return lookup
 
 
-def make_sharded_lookup(mesh: Mesh, mode: str = "psum") -> Callable:
+def make_sharded_lookup(mesh: Mesh, mode: str = "psum",
+                        capacity_factor: float = 2.0) -> Callable:
     """Returns lookup_fn(emb, item_ids, cat_ids) -> [..., 2d] implemented
     with shard_map over the mesh; a drop-in for ``embedding.dense_lookup``.
 
@@ -164,7 +354,8 @@ def make_sharded_lookup(mesh: Mesh, mode: str = "psum") -> Callable:
         elif mode == "a2a":
             pad = (-flat.shape[0]) % n_shards
             padded = jnp.pad(flat, (0, pad))
-            out = _owned_gather_a2a(table, padded, MODEL_AXIS, n_shards)
+            out = _owned_gather_a2a(table, padded, MODEL_AXIS, n_shards,
+                                    capacity_factor)
             out = out[:flat.shape[0]]
         else:
             raise ValueError(f"unknown embedding mode {mode!r}")

@@ -43,18 +43,21 @@ def make_mesh(model_parallel: int = 1, seq_parallel: int = 1,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
-def batch_sharding(mesh: Mesh, stacked: bool = False) -> Any:
+def batch_sharding(mesh: Mesh, stacked: bool = False,
+                   over: Sequence[str] = (DATA_AXIS,)) -> Any:
     """Every Batch field is sharded on its example axis. ``stacked=True``
     for [k, B, ...] multi-step batches (steps_per_dispatch > 1): the step
-    axis k is unsharded, the example axis sharded."""
+    axis k is unsharded, the example axis sharded. ``over``: mesh axes the
+    example axis shards across — (data,) by default, ("data", "model") for
+    batch_over_model steps."""
     from ..data.schema import Batch
     import dataclasses
 
     lead = (None,) if stacked else ()
+    ax = tuple(over)
 
     def spec(ndim):
-        return NamedSharding(mesh, P(*lead, DATA_AXIS,
-                                     *([None] * (ndim - 1))))
+        return NamedSharding(mesh, P(*lead, ax, *([None] * (ndim - 1))))
 
     # All Batch fields are [B] or [B, T] (plus the k axis when stacked).
     return Batch(**{f.name: spec(2) if f.name.endswith("_seq") or
@@ -79,8 +82,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch, stacked: bool = False) -> Any:
-    """Place a host-local Batch onto the mesh with data-axis sharding.
+def shard_batch(mesh: Mesh, batch, stacked: bool = False,
+                over: Sequence[str] = (DATA_AXIS,)) -> Any:
+    """Place a host-local Batch onto the mesh with example-axis sharding
+    over the ``over`` mesh axes (see batch_sharding).
 
     Multi-host: each process holds a DIFFERENT local batch (the DataLoader
     shards by process), so the global array must be assembled from the
@@ -88,7 +93,7 @@ def shard_batch(mesh: Mesh, batch, stacked: bool = False) -> Any:
     local batch as the same global array and silently drop (P-1)/P of the
     loaded rows. Global batch = per-host batch x process_count.
     """
-    shardings = batch_sharding(mesh, stacked=stacked)
+    shardings = batch_sharding(mesh, stacked=stacked, over=over)
     if jax.process_count() == 1:
         return jax.tree.map(jax.device_put, batch, shardings)
     return jax.tree.map(

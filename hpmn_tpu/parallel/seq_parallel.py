@@ -263,4 +263,15 @@ def make_sp_steps(cfg, tx, mesh: Mesh) -> Tuple[Callable, Callable]:
             in_specs=(param_specs(params), eval_batch_spec),
             out_specs=P(DATA_AXIS), check_vma=False))
 
+    def jit_eval_fused(params):
+        from ..train.train import fuse_eval
+
+        spec_k = Batch(**{f.name: P(None, DATA_AXIS)
+                          for f in dataclasses.fields(Batch)})
+        return jax.jit(jax.shard_map(
+            fuse_eval(_eval), mesh=mesh,
+            in_specs=(param_specs(params), spec_k),
+            out_specs=P(None, DATA_AXIS), check_vma=False))
+
+    jit_eval.fused = jit_eval_fused
     return jit_train, jit_eval

@@ -88,6 +88,17 @@ def make_sharded_steps(cfg, tx, mesh: Mesh,
         return jax.jit(_eval, in_shardings=(p_shard(params), b_shard_eval),
                        out_shardings=rep)
 
+    def jit_eval_fused(params):
+        # k-chained eval: lax.map over a stacked [k, B, ...] batch — the
+        # dispatch-overhead treatment for the eval loop (ARCHITECTURE §4).
+        from ..train.train import fuse_eval
+
+        return jax.jit(fuse_eval(_eval),
+                       in_shardings=(p_shard(params),
+                                     batch_sharding(mesh, stacked=True)),
+                       out_shardings=rep)
+
+    jit_eval.fused = jit_eval_fused
     return jit_train, jit_eval
 
 
@@ -119,7 +130,7 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
     from ..data.schema import Batch
     from ..models import apply_model, loss_fn
     from ..models.losses import l2_parts
-    from .embedding_sharding import local_lookup_fn
+    from .embedding_sharding import local_bucketed_lookup_fn, local_lookup_fn
     from .seq_parallel import SEQ_AXIS, resolve_sp_fn
 
     n_model = mesh.shape[MODEL_AXIS]
@@ -127,6 +138,24 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
     dense_axes = ((DATA_AXIS, SEQ_AXIS, MODEL_AXIS) if n_seq > 1
                   else (DATA_AXIS, MODEL_AXIS))
     table_axes = (DATA_AXIS, SEQ_AXIS) if n_seq > 1 else (DATA_AXIS,)
+    # batch_over_model: the batch's example axis shards over ("data",
+    # "model") instead of replicating over "model" — ids arrive shard-local
+    # and the bucketed a2a exchange's ~2*f*N*d/S wire volume is realized
+    # (no re-replicating all_gather; ARCHITECTURE §5). Gradient accounting:
+    # dense grads pmean over dense_axes is now a true average over distinct
+    # sub-batches (before, the model-axis copies were identical); table
+    # grads arrive owner-resident with the lookup VJP's sum over the S
+    # sources, so the lookup scales them by 1/n_model and the data-axis
+    # pmean (table_axes, unchanged) completes the global mean. Direct-param
+    # table gradients (l2) are NOT routed through the lookup and stay
+    # unscaled — exactly once per shard, averaged over table_axes.
+    bom = bool(getattr(cfg.mesh, "batch_over_model", False)) and n_model > 1
+    if bom and cfg.mesh.embedding_mode != "a2a":
+        raise ValueError(
+            "mesh.batch_over_model shards the batch over the model axis, so "
+            "ids are shard-local — only the bucketed exchange supports that; "
+            "set mesh.embedding_mode='a2a' (psum needs model-replicated ids)")
+    batch_axes = (DATA_AXIS, MODEL_AXIS) if bom else (DATA_AXIS,)
     if n_seq > 1:
         if cfg.model.use_pallas:
             raise ValueError(
@@ -138,8 +167,13 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
             raise ValueError("gru_seq_fn is owned by the seq axis here")
         gru_seq_fn = resolve_sp_fn(cfg, n_seq)
     k = cfg.train.steps_per_dispatch
-    lookup = (local_lookup_fn(n_model, cfg.mesh.embedding_mode)
-              if n_model > 1 else None)
+    cap_f = float(getattr(cfg.mesh, "a2a_capacity_factor", 2.0))
+    if bom:
+        lookup = local_bucketed_lookup_fn(n_model, capacity_factor=cap_f,
+                                          table_grad_scale=1.0 / n_model)
+    else:
+        lookup = (local_lookup_fn(n_model, cfg.mesh.embedding_mode, cap_f)
+                  if n_model > 1 else None)
 
     def spec_of(path, leaf):
         keys = [getattr(p, "key", getattr(p, "name", getattr(p, "idx", None)))
@@ -159,9 +193,9 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
         return jax.lax.pmean(g, dense_axes)
 
     batch_spec = Batch(**{f.name: P(*(((None,) if k > 1 else ()) +
-                                      (DATA_AXIS,)))
+                                      (batch_axes,)))
                           for f in dataclasses.fields(Batch)})
-    eval_batch_spec = Batch(**{f.name: P(DATA_AXIS)  # never stacked
+    eval_batch_spec = Batch(**{f.name: P(batch_axes)  # never stacked
                                for f in dataclasses.fields(Batch)})
 
     def _step(params, opt_state, batch):
@@ -208,6 +242,20 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
         return jax.jit(jax.shard_map(
             _eval, mesh=mesh, in_specs=(param_specs(params),
                                         eval_batch_spec),
-            out_specs=P(DATA_AXIS), check_vma=False))
+            out_specs=P(batch_axes), check_vma=False))
 
+    def jit_eval_fused(params):
+        # k-chained eval (ARCHITECTURE §4 applied to the eval loop): the
+        # lax.map over stacked batches runs INSIDE the shard_map, same
+        # shape as fuse_steps' scan.
+        from ..train.train import fuse_eval
+
+        spec_k = Batch(**{f.name: P(None, batch_axes)
+                          for f in dataclasses.fields(Batch)})
+        return jax.jit(jax.shard_map(
+            fuse_eval(_eval), mesh=mesh,
+            in_specs=(param_specs(params), spec_k),
+            out_specs=P(None, batch_axes), check_vma=False))
+
+    jit_eval.fused = jit_eval_fused
     return jit_train, jit_eval

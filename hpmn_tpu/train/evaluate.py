@@ -17,7 +17,8 @@ from . import metrics as M
 
 def evaluate(eval_step: Callable, params, loader: DataLoader,
              streaming_bins: int = 0, gauc_bins: int = 256,
-             gauc_max_users: int = 0) -> Dict[str, float]:
+             gauc_max_users: int = 0, fused_eval: Callable = None,
+             steps_per_dispatch: int = 1) -> Dict[str, float]:
     """eval_step(params, batch) -> logits [B]. Pads the final short batch and
     trims by n_valid, so every example is scored exactly once.
 
@@ -25,6 +26,15 @@ def evaluate(eval_step: Callable, params, loader: DataLoader,
     (logits, labels) sets are merged across hosts before computing the
     exact AUC, so every host reports the identical global metric
     (SURVEY.md §5.5).
+
+    ``fused_eval(params, stacked [k, B, ...]) -> [k, B]`` with
+    ``steps_per_dispatch = k > 1`` applies the train path's
+    dispatch-chaining economics to eval (ARCHITECTURE §4; VERDICT r3
+    missing #4): k batches ride ONE device dispatch (short trailing groups
+    pad by repeating the last batch with n_valid=0 — scored, discarded),
+    and device pulls lag one group so the next dispatch overlaps the pull.
+    Single-host only (the multi-host shard-local row extraction is
+    per-batch); ignored when fused_eval is None.
 
     ``streaming_bins > 0`` (config ``eval_streaming_bins``) switches to the
     bounded-memory histogram estimators (:class:`metrics.StreamingAUC` +
@@ -36,10 +46,12 @@ def evaluate(eval_step: Callable, params, loader: DataLoader,
     hash-caps it instead (colliding users merge)."""
     if streaming_bins:
         return _evaluate_streaming(eval_step, params, loader, streaming_bins,
-                                   gauc_bins, gauc_max_users)
+                                   gauc_bins, gauc_max_users,
+                                   fused_eval=fused_eval,
+                                   steps_per_dispatch=steps_per_dispatch)
     all_logits, all_labels, all_uids = [], [], []
-    for batch, n_valid in loader.one_epoch():
-        logits = _local_rows(eval_step(params, batch), batch.batch_size)
+    for logits, batch, n_valid in _scored_batches(
+            eval_step, params, loader, fused_eval, steps_per_dispatch):
         all_logits.append(logits[:n_valid])
         all_labels.append(np.asarray(batch.label)[:n_valid])
         all_uids.append(np.asarray(batch.uid)[:n_valid])
@@ -57,14 +69,62 @@ def evaluate(eval_step: Callable, params, loader: DataLoader,
     }
 
 
+def _scored_batches(eval_step: Callable, params, loader: DataLoader,
+                    fused_eval: Callable = None,
+                    steps_per_dispatch: int = 1):
+    """Yield (host logits [B], batch, n_valid) per eval batch — either one
+    synchronous dispatch per batch, or (fused_eval) k batches stacked into
+    one dispatch with the device pull lagging a group behind the dispatch
+    stream (see :func:`evaluate`)."""
+    import collections
+
+    ke = steps_per_dispatch if (fused_eval is not None
+                                and jax.process_count() == 1) else 1
+    if ke <= 1:
+        for batch, n_valid in loader.one_epoch():
+            yield (_local_rows(eval_step(params, batch), batch.batch_size),
+                   batch, n_valid)
+        return
+
+    def groups():
+        buf = []
+        for item in loader.one_epoch():
+            buf.append(item)
+            if len(buf) == ke:
+                yield buf
+                buf = []
+        if buf:
+            while len(buf) < ke:  # pad: re-score the last batch, discard
+                buf.append((buf[-1][0], 0))
+            yield buf
+
+    inflight = collections.deque()
+
+    def drain():
+        dev, group = inflight.popleft()
+        lg = np.asarray(jax.device_get(dev))
+        for i, (b, nv) in enumerate(group):
+            yield lg[i], b, nv
+
+    for group in groups():
+        stacked = jax.tree.map(lambda *xs: np.stack(
+            [np.asarray(x) for x in xs]), *[b for b, _ in group])
+        inflight.append((fused_eval(params, stacked), group))
+        if len(inflight) >= 2:
+            yield from drain()
+    while inflight:
+        yield from drain()
+
+
 def _evaluate_streaming(eval_step: Callable, params, loader: DataLoader,
                         n_bins: int, gauc_bins: int = 256,
-                        gauc_max_users: int = 0) -> Dict[str, float]:
+                        gauc_max_users: int = 0, fused_eval: Callable = None,
+                        steps_per_dispatch: int = 1) -> Dict[str, float]:
     acc = M.StreamingAUC(n_bins)
     gacc = (M.StreamingGAUC(gauc_bins, gauc_max_users)
             if gauc_bins else None)
-    for batch, n_valid in loader.one_epoch():
-        logits = _local_rows(eval_step(params, batch), batch.batch_size)
+    for logits, batch, n_valid in _scored_batches(
+            eval_step, params, loader, fused_eval, steps_per_dispatch):
         acc.update(logits[:n_valid], np.asarray(batch.label)[:n_valid])
         if gacc is not None:
             gacc.update(logits[:n_valid],

@@ -226,6 +226,28 @@ def make_eval_step(cfg, lookup_fn=None, gru_seq_fn=None) -> Callable:
     return eval_step
 
 
+def fuse_eval(eval_fn: Callable) -> Callable:
+    """Chain k eval batches into ONE dispatch: ``lax.map`` over a stacked
+    [k, B, ...] Batch -> [k, B] logits (no carry — eval is a trivial scan).
+    The train path's per-dispatch-overhead win (ARCHITECTURE §4) applied to
+    eval; identical logits to k separate calls."""
+
+    def fused(params, batches):
+        return jax.lax.map(lambda b: eval_fn(params, b), batches)
+
+    return fused
+
+
+def make_fused_eval(cfg, lookup_fn=None, gru_seq_fn=None) -> Callable:
+    from ..models import apply_model
+
+    def eval_step(params, batch: Batch):
+        logits, _ = apply_model(params, cfg, batch, lookup_fn, gru_seq_fn)
+        return logits
+
+    return jax.jit(fuse_eval(eval_step))
+
+
 def train(cfg, lookup_fn=None, gru_seq_fn=None,
           log: Callable[[str], None] = print) -> Dict:
     """Run one config end-to-end. Returns final test metrics + history."""
@@ -260,6 +282,12 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         ema = get_ema_params(opt_state)
         return ema if ema is not None else params
 
+    # Eval dispatch chaining (ARCHITECTURE §4 applied to the eval loop):
+    # ke batches per eval dispatch; single-host only (evaluate() falls back
+    # per-batch on multi-host, where shard-local row extraction is
+    # per-batch).
+    ke = max(1, int(getattr(cfg, "eval_steps_per_dispatch", 1)))
+    fused_eval = None
     use_mesh = (cfg.mesh.model_parallel > 1 or len(jax.devices()) > 1) \
         and cfg.mesh.enable and lookup_fn is None
     if use_mesh and cfg.mesh.seq_parallel > 1 and \
@@ -271,8 +299,10 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                                 shard_batch)
 
         mesh = make_mesh(cfg.mesh.model_parallel, cfg.mesh.seq_parallel)
+        bom = bool(getattr(cfg.mesh, "batch_over_model", False))
         if cfg.mesh.embedding_mode == "replicated":
-            cfg.mesh.embedding_mode = "psum"
+            cfg.mesh.embedding_mode = "a2a" if bom else "psum"
+        over = ("data", "model") if bom else ("data",)
         params = init_sharded_model(jax.random.key(cfg.seed), cfg,
                                     spec.n_items, spec.n_cats, mesh,
                                     n_users=spec.n_users)
@@ -281,11 +311,17 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         jit_train, jit_eval = make_shardmap_steps(cfg, tx, mesh)
         train_step = jit_train(params, opt_state)
         _eval_step = jit_eval(params)
-        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b))
+        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b,
+                                                           over=over))
+        if ke > 1 and jax.process_count() == 1:
+            _fe = jit_eval.fused(params)
+            fused_eval = lambda p, bs: _fe(
+                p, shard_batch(mesh, bs, stacked=True, over=over))
         place = lambda b: shard_batch(
-            mesh, b, stacked=cfg.train.steps_per_dispatch > 1)
+            mesh, b, stacked=cfg.train.steps_per_dispatch > 1, over=over)
         log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
             f"embedding_mode={cfg.mesh.embedding_mode}, "
+            f"batch_over_model={bom}, "
             f"sp_microbatches={cfg.mesh.sp_microbatches}")
     elif use_mesh and cfg.mesh.seq_parallel > 1:
         # Sequence-parallel execution: T axis of the long scans sharded over
@@ -306,6 +342,10 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         train_step = jit_train(params, opt_state)
         _eval_step = jit_eval(params)
         eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b))
+        if ke > 1 and jax.process_count() == 1:
+            _fe = jit_eval.fused(params)
+            fused_eval = lambda p, bs: _fe(p, shard_batch(mesh, bs,
+                                                          stacked=True))
         place = lambda b: shard_batch(
             mesh, b, stacked=cfg.train.steps_per_dispatch > 1)
         log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
@@ -319,9 +359,12 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                                 param_shardings, shard_batch)
 
         mesh = make_mesh(cfg.mesh.model_parallel)
+        bom = bool(getattr(cfg.mesh, "batch_over_model", False)) and \
+            cfg.mesh.model_parallel > 1
         if cfg.mesh.model_parallel > 1 and \
                 cfg.mesh.embedding_mode == "replicated":
-            cfg.mesh.embedding_mode = "psum"
+            cfg.mesh.embedding_mode = "a2a" if bom else "psum"
+        over = ("data", "model") if bom else ("data",)
         params = init_sharded_model(jax.random.key(cfg.seed), cfg,
                                     spec.n_items, spec.n_cats, mesh,
                                     n_users=spec.n_users)
@@ -330,17 +373,24 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         opt_shardings = param_shardings(mesh, jax.eval_shape(tx.init, params))
         opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
         # GSPMD cannot partition Pallas custom calls — use the explicit
-        # shard_map step so the kernels run on local shards.
-        make_steps = (make_shardmap_steps if cfg.model.use_pallas
+        # shard_map step so the kernels run on local shards. batch_over_model
+        # is a shard_map-step feature too (GSPMD would re-replicate).
+        make_steps = (make_shardmap_steps if cfg.model.use_pallas or bom
                       else make_sharded_steps)
         jit_train, jit_eval = make_steps(cfg, tx, mesh, gru_seq_fn=gru_seq_fn)
         train_step = jit_train(params, opt_state)
         _eval_step = jit_eval(params)
-        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b))
+        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b,
+                                                           over=over))
+        if ke > 1 and jax.process_count() == 1:
+            _fe = jit_eval.fused(params)
+            fused_eval = lambda p, bs: _fe(
+                p, shard_batch(mesh, bs, stacked=True, over=over))
         place = lambda b: shard_batch(
-            mesh, b, stacked=cfg.train.steps_per_dispatch > 1)
+            mesh, b, stacked=cfg.train.steps_per_dispatch > 1, over=over)
         log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
-            f"embedding_mode={cfg.mesh.embedding_mode}")
+            f"embedding_mode={cfg.mesh.embedding_mode}, "
+            f"batch_over_model={bom}")
     else:
         params = init_model(jax.random.key(cfg.seed), cfg, spec.n_items,
                             spec.n_cats, n_users=spec.n_users)
@@ -350,6 +400,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         else:
             train_step = make_train_step(cfg, tx, lookup_fn, gru_seq_fn)
         eval_step = make_eval_step(cfg, lookup_fn, gru_seq_fn)
+        if ke > 1:
+            fused_eval = make_fused_eval(cfg, lookup_fn, gru_seq_fn)
         place = lambda b: jax.tree.map(jax.device_put, b)
 
     mngr = None
@@ -441,7 +493,9 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                                                               opt_state),
                                    val_loader, cfg.eval_streaming_bins,
                                    cfg.eval_gauc_bins,
-                                   cfg.eval_gauc_max_users)
+                                   cfg.eval_gauc_max_users,
+                                   fused_eval=fused_eval,
+                                   steps_per_dispatch=ke)
                 log(f"step {step} VAL auc {val['auc']:.4f} "
                     f"gauc {val['gauc']:.4f} log_loss {val['log_loss']:.4f} "
                     f"calib {val['calib']:.3f}")
@@ -502,7 +556,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         opt_state = restored["opt_state"]  # carries the EMA shadow
     test = run_evaluate(eval_step, params_for_eval(params, opt_state),
                         test_loader, cfg.eval_streaming_bins,
-                        cfg.eval_gauc_bins, cfg.eval_gauc_max_users)
+                        cfg.eval_gauc_bins, cfg.eval_gauc_max_users,
+                        fused_eval=fused_eval, steps_per_dispatch=ke)
     log(f"TEST auc {test['auc']:.4f} gauc {test['gauc']:.4f} "
         f"log_loss {test['log_loss']:.4f} calib {test['calib']:.3f}")
     if writer is not None:

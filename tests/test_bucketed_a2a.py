@@ -1,0 +1,206 @@
+"""The sort-by-owner bucketed a2a embedding exchange (SURVEY.md §7 hard
+part 2): local-queries contract, static per-owner capacity with the psum'd
+overflow fallback, duplicate ids, explicit VJP, and the batch_over_model
+shard_map step == single-device step (values AND the l2/table-grad-scale
+gradient accounting)."""
+
+import functools
+
+import chex
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hpmn_tpu.configs import get_config
+from hpmn_tpu.data.schema import dummy_batch, to_device_arrays
+from hpmn_tpu.models import apply_model, init_model, loss_fn
+from hpmn_tpu.parallel import (init_sharded_model, make_mesh,
+                               make_shardmap_steps, pad_vocab,
+                               param_shardings, shard_batch)
+from hpmn_tpu.parallel.embedding_sharding import (_bucket_slots, _capacity,
+                                                  bucketed_gather)
+from hpmn_tpu.parallel.mesh import MODEL_AXIS
+
+S = 4
+N_ITEMS, N_CATS = pad_vocab(96, S), pad_vocab(24, S)
+
+
+@pytest.fixture(scope="module")
+def mesh24():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 fake devices"
+    return make_mesh(model_parallel=S, devices=jax.devices()[:8])
+
+
+def _run_gather(mesh, table, ids_global, cap, scale=1.0):
+    """bucketed_gather under a (data, model) shard_map with the example
+    axis sharded over BOTH mesh axes (the batch_over_model layout)."""
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(P(MODEL_AXIS, None), P(("data", "model"))),
+                       out_specs=P(("data", "model")), check_vma=False)
+    def f(tab, ids):
+        return bucketed_gather(tab, ids, axis=MODEL_AXIS, n_shards=S,
+                               capacity=cap, table_grad_scale=scale)
+
+    return jax.jit(f), f
+
+
+def _ids_cases(V):
+    rng = np.random.default_rng(3)
+    rand = rng.integers(0, V, size=64).astype(np.int32)
+    rand[:3] = rand[3]  # duplicates across shard-local slices
+    skew = rng.integers(0, V // S, size=64).astype(np.int32)  # all owner 0
+    return {"random_dups": rand, "skewed_overflow": skew}
+
+
+@pytest.mark.parametrize("case", ["random_dups", "skewed_overflow"])
+def test_bucketed_gather_matches_dense(mesh24, case):
+    V, d = N_ITEMS, 8
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+    tab_sh = jax.device_put(table, jax.NamedSharding(mesh24,
+                                                     P(MODEL_AXIS, None)))
+    ids = jnp.asarray(_ids_cases(V)[case])
+    cap = _capacity(ids.shape[0] // 8, S, 2.0)
+    jf, _ = _run_gather(mesh24, table, ids, cap)
+    out = jf(tab_sh, ids)
+    chex.assert_trees_all_close(np.asarray(out),
+                                np.asarray(jnp.take(table, ids, axis=0)),
+                                atol=1e-6)
+
+
+@pytest.mark.parametrize("case,scale", [("random_dups", 1.0),
+                                        ("skewed_overflow", 1.0),
+                                        ("random_dups", 0.25)])
+def test_bucketed_gather_grads_match_dense(mesh24, case, scale):
+    """VJP == dense-gather grad x table_grad_scale, on BOTH branches
+    (the skewed case forces the all_gather+psum overflow fallback)."""
+    V, d = N_ITEMS, 8
+    rng = np.random.default_rng(1)
+    table = jnp.asarray(rng.normal(size=(V, d)).astype(np.float32))
+    tab_sh = jax.device_put(table, jax.NamedSharding(mesh24,
+                                                     P(MODEL_AXIS, None)))
+    ids = jnp.asarray(_ids_cases(V)[case])
+    cap = _capacity(ids.shape[0] // 8, S, 2.0)
+    jf, _ = _run_gather(mesh24, table, ids, cap, scale=scale)
+
+    gs = jax.jit(jax.grad(lambda t: jnp.sum(jnp.sin(jf(t, ids)))))(tab_sh)
+    gd = jax.grad(lambda t: jnp.sum(jnp.sin(jnp.take(t, ids, axis=0))))(table)
+    chex.assert_trees_all_close(np.asarray(jax.device_get(gs)),
+                                np.asarray(gd) * scale, atol=1e-5)
+
+
+def test_bucket_slots_layout_and_overflow():
+    """Pure helper: slot = owner*cap + rank for in-capacity queries,
+    sentinel S*cap beyond; overflow flag iff any bucket exceeds cap."""
+    rows_per = 10
+    ids = jnp.asarray([31, 5, 12, 7, 0, 25, 11, 39], jnp.int32)  # owners
+    # owners: 3,0,1,0,0,2,1,3 -> counts {0:3, 1:2, 2:1, 3:2}
+    perm, slot, over = _bucket_slots(ids, 4, rows_per, cap=3)
+    assert not bool(over)
+    ids_sorted = np.asarray(jnp.take(ids, perm))
+    send = np.full(4 * 3, -1)
+    send[np.asarray(slot)] = ids_sorted
+    for o in range(4):
+        bucket = [i for i in send[o * 3:(o + 1) * 3] if i >= 0]
+        assert sorted(bucket) == sorted(
+            int(i) for i in np.asarray(ids) if i // rows_per == o)
+    _, slot2, over2 = _bucket_slots(ids, 4, rows_per, cap=2)
+    assert bool(over2)  # owner 0 has 3 queries > cap 2
+    assert int(np.sum(np.asarray(slot2) == 4 * 2)) == 1  # one dropped
+
+
+def _single_device_reference(cfg, batch, tx):
+    params0 = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+    (_, _), g0 = jax.value_and_grad(loss_fn, has_aux=True)(params0, cfg,
+                                                           batch)
+    u0, _ = tx.update(g0, tx.init(params0), params0)
+    return optax.apply_updates(params0, u0)
+
+
+@pytest.mark.heavy
+@pytest.mark.parametrize("model_name", ["hpmn", "bst"])
+def test_batch_over_model_step_matches_single_device(model_name):
+    """Full shard_map train step with the batch sharded over ("data",
+    "model") and the bucketed a2a lookup == single-device step. Exercises
+    the 1/n_model table-grad scaling composed with the UNSCALED direct l2
+    gradient (amazon config ships l2_weight=1e-4 > 0) and the cov reg."""
+    mesh = make_mesh(model_parallel=S, devices=jax.devices()[:8])
+    cfg = get_config("amazon_hpmn")
+    cfg.model.name = model_name
+    cfg.model.hpmn_layers = 2
+    cfg.train.steps_per_dispatch = 1
+    cfg.mesh.embedding_mode = "a2a"
+    cfg.mesh.batch_over_model = True
+    assert cfg.loss.l2_weight > 0  # the grad-accounting hazard under test
+    batch = to_device_arrays(dummy_batch(16, 12, N_ITEMS, N_CATS, seed=5))
+    tx = optax.sgd(1e-2)
+    p_ref = _single_device_reference(cfg, batch, tx)
+
+    params = init_sharded_model(jax.random.key(0), cfg, N_ITEMS, N_CATS,
+                                mesh)
+    opt_state = jax.device_put(tx.init(params),
+                               param_shardings(mesh, tx.init(params)))
+    jit_train, jit_eval = make_shardmap_steps(cfg, tx, mesh)
+    step = jit_train(params, opt_state)
+    sbatch = shard_batch(mesh, batch, over=("data", "model"))
+    p2, _, metrics = step(params, opt_state, sbatch)
+    chex.assert_trees_all_close(jax.device_get(p2), jax.device_get(p_ref),
+                                atol=2e-5)
+    assert np.isfinite(float(metrics["loss"]))
+    # reported loss is the global mean (pmean over distinct sub-batches)
+    loss_ref, _ = loss_fn(init_model(jax.random.key(0), cfg, N_ITEMS,
+                                     N_CATS), cfg, batch)
+    assert abs(float(metrics["loss"]) - float(loss_ref)) < 1e-4
+    # eval path: logits land sharded over (data, model), content == dense
+    logits_ref, _ = apply_model(p_ref, cfg, batch)
+    logits = jit_eval(p2)(p2, sbatch)
+    chex.assert_trees_all_close(np.asarray(jax.device_get(logits)),
+                                np.asarray(logits_ref), atol=1e-4)
+
+
+def test_batch_over_model_requires_a2a():
+    mesh = make_mesh(model_parallel=2, devices=jax.devices()[:4])
+    cfg = get_config("amazon_hpmn")
+    cfg.mesh.embedding_mode = "psum"
+    cfg.mesh.batch_over_model = True
+    with pytest.raises(ValueError, match="batch_over_model"):
+        make_shardmap_steps(cfg, optax.sgd(1e-2), mesh)
+
+
+@pytest.mark.heavy
+def test_batch_over_model_multistep_matches_sequential():
+    """k=2 fused dispatch under batch_over_model == two k=1 dispatches."""
+    mesh = make_mesh(model_parallel=2, devices=jax.devices()[:4])
+    cfg = get_config("amazon_hpmn")
+    cfg.model.hpmn_layers = 2
+    cfg.mesh.embedding_mode = "a2a"
+    cfg.mesh.batch_over_model = True
+    tx = optax.sgd(1e-2)
+    batches = [to_device_arrays(dummy_batch(8, 12, N_ITEMS, N_CATS, seed=s))
+               for s in (1, 2)]
+    params = init_sharded_model(jax.random.key(0), cfg, N_ITEMS, N_CATS,
+                                mesh)
+    opt0 = jax.device_put(tx.init(params),
+                          param_shardings(mesh, tx.init(params)))
+
+    cfg.train.steps_per_dispatch = 1
+    step1 = make_shardmap_steps(cfg, tx, mesh)[0](params, opt0)
+    p_seq, o_seq = params, opt0
+    for b in batches:
+        p_seq, o_seq, m_seq = step1(p_seq, o_seq,
+                                    shard_batch(mesh, b,
+                                                over=("data", "model")))
+
+    cfg.train.steps_per_dispatch = 2
+    stepk = make_shardmap_steps(cfg, tx, mesh)[0](params, opt0)
+    stack = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    p_k, _, m_k = stepk(params, opt0,
+                        shard_batch(mesh, stack, stacked=True,
+                                    over=("data", "model")))
+    chex.assert_trees_all_close(jax.device_get(p_seq), jax.device_get(p_k),
+                                atol=1e-6)
+    chex.assert_trees_all_close(m_seq["loss"], m_k["loss"], atol=1e-6)

@@ -357,3 +357,30 @@ def test_optimizer_defaults_keep_plain_adam_state():
     s1 = tx.init({"w": jnp.ones((2,))})
     s2 = ref.init({"w": jnp.ones((2,))})
     assert jax.tree_util.tree_structure(s1) == jax.tree_util.tree_structure(s2)
+
+
+@pytest.mark.slow
+def test_fused_eval_matches_per_batch():
+    """eval_steps_per_dispatch > 1 (lax.map-chained eval dispatches,
+    ARCHITECTURE §4 applied to the eval loop) produces identical metrics
+    to per-batch eval — on the mesh path (jit_eval.fused) and the
+    single-device path (make_fused_eval), exact and streaming."""
+    res = {}
+    for ke in (1, 4):
+        cfg = _small_cfg(**{"train.max_steps": 40, "train.eval_every": 20})
+        cfg.eval_steps_per_dispatch = ke
+        cfg.eval_batch_size = 64  # batch count % ke != 0: pads the group
+        res[ke] = train(cfg, log=lambda s: None)
+    for a, b in zip(res[1]["history"], res[4]["history"]):
+        assert a == b, (a, b)
+    assert res[1]["test"] == res[4]["test"]
+
+    res_sd = {}
+    for ke in (1, 3):
+        cfg = _small_cfg(**{"train.max_steps": 40, "train.eval_every": 20})
+        cfg.mesh.enable = False  # single-device: make_fused_eval route
+        cfg.eval_steps_per_dispatch = ke
+        cfg.eval_streaming_bins = 4096  # streaming estimators too
+        res_sd[ke] = train(cfg, log=lambda s: None)
+    for a, b in zip(res_sd[1]["history"], res_sd[3]["history"]):
+        assert a == b, (a, b)
