@@ -1,13 +1,17 @@
 from .lifelong import UserMemoryStore, incremental_update
 
-__all__ = ["UserMemoryStore", "incremental_update", "ServingServer",
-           "ServingClient", "ShardedServingClient", "AotStore",
-           "load_aot_store", "export_serving"]
+__all__ = ["UserMemoryStore", "incremental_update", "HistoryStore",
+           "load_bundle", "ServingServer", "ServingClient",
+           "ShardedServingClient", "AotStore", "load_aot_store",
+           "export_serving"]
 
 
 def __getattr__(name):
     # Lazy: the daemon/client pull in sockets/threads (and aot pulls
     # jax.export) that most training imports never need.
+    if name in ("HistoryStore", "load_bundle"):
+        from . import history
+        return getattr(history, name)
     if name == "ServingServer":
         from .server import ServingServer
         return ServingServer

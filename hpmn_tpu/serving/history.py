@@ -1,0 +1,317 @@
+"""Lifelong serving for encoder families WITHOUT an O(1) memory recurrence
+(BST and any other ``apply_model`` family): a bounded per-user window of
+the most recent W behaviors, re-encoded batched on-device per request.
+
+Reference equivalent: [P §4.5] gives HPMN O(1) incremental updates because
+its state IS a recurrence; attention models like BST have no such
+recurrence — their serving-industry shape is exactly this store: retain a
+recent-history window per user, re-encode it (with the candidate as the
+attention target) at request time. Cost is O(W) device compute per
+prediction instead of O(1), amortized across the request batch on the MXU
+(the encode is the same batched graph training runs). VERDICT r3 missing
+#5 / next #5.
+
+Window layout matches training exactly: ``[W]`` int32 ids, LEFT-padded
+with zeros, most recent event at index W-1, mask 1.0 at valid positions —
+so for a user whose lifetime event count is <= W the serving score is
+bit-identical to training's ``apply_model`` on their full history, and
+beyond W the window slides (oldest event drops). W defaults to the
+training sequence length. Store contract (same as ``UserMemoryStore``):
+one event per DISTINCT user per ``update`` call — the serving daemon's
+conflict-free sub-batch split enforces it for duplicate uids in a request.
+
+The arena is host-side only (state is int32 ids — the request payload is
+tiny; the device cost is the encode, which ships per request anyway), with
+the same contiguous-arena mechanics as the memory store: uid->row index,
+amortized doubling, bulk LRU eviction under ``max_users``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.schema import Batch
+from .lifelong import load_bundle_params, save_params_npz
+
+
+class HistoryStore:
+    """Per-user recent-history window store with batched re-encode
+    predict/rank. Public API mirrors ``UserMemoryStore``."""
+
+    _MIN_CAP = 1024
+
+    def __init__(self, cfg, params: Dict, window: Optional[int] = None,
+                 max_users: Optional[int] = None):
+        from ..data.synthetic import SPECS
+
+        self.cfg = cfg
+        self.params = params
+        self.window = int(window) if window else int(
+            SPECS[cfg.dataset].seq_len)
+        self.max_users = max_users
+        cap = self._MIN_CAP if max_users is None else min(self._MIN_CAP,
+                                                          max_users)
+        W = self.window
+        self._items = np.zeros((cap, W), np.int32)
+        self._cats = np.zeros((cap, W), np.int32)
+        self._cnt = np.zeros((cap,), np.int64)  # lifetime event count
+        self._last_touch = np.zeros((cap,), np.int64)
+        self._clock = 0
+        self._row: Dict[int, int] = {}
+        self._row_uid = np.full((cap,), -1, np.int64)
+        self._next_row = 0
+        self._free_rows: list = []
+
+        def score(params_, batch):
+            from ..models import apply_model
+
+            logits, _ = apply_model(params_, cfg, batch)
+            return jax.nn.sigmoid(logits)
+
+        self._score = jax.jit(score)
+
+    @property
+    def n_users(self) -> int:
+        return len(self._row)
+
+    # ------------------------------------------------------------ arena --
+    def _grow(self, need: int) -> None:
+        cap = len(self._cnt)
+        new_cap = max(cap * 2, need, self._MIN_CAP)
+        if self.max_users is not None:
+            new_cap = min(new_cap, max(self.max_users, need))
+        for name, fill in (("_items", 0), ("_cats", 0), ("_cnt", 0),
+                           ("_last_touch", 0), ("_row_uid", -1)):
+            old = getattr(self, name)
+            new = np.full((new_cap,) + old.shape[1:], fill, old.dtype)
+            new[:cap] = old
+            setattr(self, name, new)
+
+    def _evict(self, need: int, protected=frozenset()) -> None:
+        """Bulk-drop the ~25% least-recently-touched users (same semantics
+        and in-flight-row protection as UserMemoryStore._evict)."""
+        n_live = len(self._row)
+        live = np.flatnonzero(self._row_uid >= 0)
+        if protected:
+            live = live[~np.isin(live, np.fromiter(protected, np.int64))]
+        if len(live) < need:
+            raise ValueError(
+                f"cannot evict {need} rows: only {len(live)} unprotected "
+                f"users (max_users={self.max_users} smaller than the "
+                f"request batch's distinct-user count?)")
+        k = min(len(live), max(n_live // 4, need))
+        victims = live[np.argpartition(self._last_touch[live], k - 1)[:k]]
+        for u in self._row_uid[victims]:
+            del self._row[int(u)]
+        self._row_uid[victims] = -1
+        self._free_rows = victims.tolist()
+
+    def _rows_for(self, uids: np.ndarray, create: bool) -> np.ndarray:
+        rows = np.empty(len(uids), np.int64)
+        row_map = self._row
+        missing = []
+        fresh = []
+        for i, u in enumerate(uids):
+            r = row_map.get(int(u), -1)
+            rows[i] = r
+            if r < 0:
+                missing.append(i)
+        if missing and create:
+            protected = {int(r) for r in rows if r >= 0}
+            for i in missing:
+                u = int(uids[i])
+                r = row_map.get(u, -1)
+                if r < 0:
+                    if self._free_rows:
+                        r = self._free_rows.pop()
+                    else:
+                        if (self.max_users is not None
+                                and self._next_row >= self.max_users):
+                            self._evict(1, frozenset(protected))
+                            r = self._free_rows.pop()
+                        else:
+                            if self._next_row >= len(self._cnt):
+                                self._grow(self._next_row + 1)
+                            r = self._next_row
+                            self._next_row += 1
+                    row_map[u] = r
+                    self._row_uid[r] = u
+                    fresh.append(r)
+                    protected.add(int(r))
+                rows[i] = r
+        if fresh:
+            fr = np.asarray(fresh, np.int64)
+            self._items[fr] = 0
+            self._cats[fr] = 0
+            self._cnt[fr] = 0
+        return rows
+
+    def _touch(self, rows: np.ndarray) -> None:
+        self._clock += 1
+        self._last_touch[rows] = self._clock
+
+    # -------------------------------------------------------- operations --
+    def update(self, uids, item_ids, cat_ids) -> None:
+        """Append one behavior per listed (distinct) user: vectorized
+        slide-left + write at W-1, keeping rows permanently in training
+        layout (left-padded, newest last). O(W) host bytes per user-event
+        (8 KB at W=1000) — the device never sees updates."""
+        uids = np.asarray(uids)
+        rows = self._rows_for(uids, create=True)
+        self._items[rows, :-1] = self._items[rows, 1:]
+        self._cats[rows, :-1] = self._cats[rows, 1:]
+        self._items[rows, -1] = np.asarray(item_ids, np.int32)
+        self._cats[rows, -1] = np.asarray(cat_ids, np.int32)
+        self._cnt[rows] += 1
+        self._touch(rows)
+
+    def ingest_histories(self, uids, item_seqs, cat_seqs,
+                         masks=None) -> None:
+        """Bootstrap users from full histories (cold-start path): keep the
+        last <= W valid events, right-aligned. Overwrites existing state."""
+        uids = np.asarray(uids)
+        item_seqs = np.asarray(item_seqs, np.int32)
+        cat_seqs = np.asarray(cat_seqs, np.int32)
+        B, T = item_seqs.shape
+        W = self.window
+        valid = (np.ones((B, T), bool) if masks is None
+                 else np.asarray(masks) > 0)
+        rows = self._rows_for(uids, create=True)
+        self._items[rows] = 0
+        self._cats[rows] = 0
+        for i, r in enumerate(rows):  # ragged per-user tails; B is a
+            idx = np.flatnonzero(valid[i])[-W:]  # bootstrap-sized batch
+            n = len(idx)
+            if n:
+                self._items[r, W - n:] = item_seqs[i, idx]
+                self._cats[r, W - n:] = cat_seqs[i, idx]
+            self._cnt[r] = n
+        self._touch(rows)
+
+    def _batch(self, uids, rows, cand_items, cand_cats) -> Batch:
+        """Assemble the scoring Batch: unknown uids (row -1) serve the
+        cold-start empty window (mask all zero; the appended target keeps
+        BST's attention well-defined)."""
+        known = rows >= 0
+        safe = np.where(known, rows, 0)
+        W = self.window
+        items = np.where(known[:, None], self._items[safe], 0)
+        cats = np.where(known[:, None], self._cats[safe], 0)
+        n_valid = np.minimum(np.where(known, self._cnt[safe], 0), W)
+        mask = (np.arange(W)[None, :] >= (W - n_valid)[:, None]
+                ).astype(np.float32)
+        z = np.zeros((len(rows), W), np.int32)
+        return Batch(uid=jnp.asarray(uids, jnp.int32),
+                     item_seq=jnp.asarray(items), cat_seq=jnp.asarray(cats),
+                     seq_mask=jnp.asarray(mask),
+                     target_item=jnp.asarray(cand_items, jnp.int32),
+                     target_cat=jnp.asarray(cand_cats, jnp.int32),
+                     label=jnp.zeros((len(rows),), jnp.float32),
+                     neg_item_seq=jnp.asarray(z), neg_cat_seq=jnp.asarray(z))
+
+    def predict(self, uids, cand_items, cand_cats) -> np.ndarray:
+        """CTR scores for (user, candidate) pairs: ONE batched re-encode
+        of the [B, W] windows with the candidates as attention targets."""
+        uids = np.asarray(uids)
+        rows = self._rows_for(uids, create=False)
+        out = np.asarray(self._score(
+            self.params, self._batch(uids, rows, cand_items, cand_cats)))
+        self._touch(rows[rows >= 0])
+        return out
+
+    def rank(self, uids, cand_items, cand_cats) -> np.ndarray:
+        """Score C candidates per user. The encode is target-dependent
+        (BST appends the candidate to the attended sequence), so ranking
+        re-encodes per (user, candidate): the [B*C, W] flattened batch is
+        one device call; peak activation scales with B*C*W — chunk large
+        C client-side if needed."""
+        uids = np.asarray(uids)
+        cand_items = np.asarray(cand_items)
+        B, C = cand_items.shape
+        rows = self._rows_for(uids, create=False)
+        rep = np.repeat(np.arange(B), C)
+        out = self._score(
+            self.params, self._batch(uids[rep], rows[rep],
+                                     np.asarray(cand_items).reshape(-1),
+                                     np.asarray(cand_cats).reshape(-1)))
+        self._touch(rows[rows >= 0])
+        return np.asarray(out).reshape(B, C)
+
+    # ------------------------------------------------------- persistence --
+    def save(self, directory: str) -> None:
+        live = np.flatnonzero(self._row_uid >= 0)
+        np.savez(os.path.join(directory, "user_history.npz"),
+                 uids=self._row_uid[live], items=self._items[live],
+                 cats=self._cats[live], counts=self._cnt[live],
+                 window=np.int64(self.window))
+
+    def _restore(self, directory: str) -> None:
+        path = os.path.join(directory, "user_history.npz")
+        if not os.path.exists(path):
+            return
+        z = np.load(path)
+        uids = z["uids"]
+        if not len(uids):
+            return
+        if int(z["window"]) != self.window:
+            raise ValueError(f"bundle window {int(z['window'])} != store "
+                             f"window {self.window}")
+        rows = self._rows_for(uids, create=True)
+        self._items[rows] = z["items"]
+        self._cats[rows] = z["cats"]
+        self._cnt[rows] = z["counts"]
+        self._touch(rows)
+
+    @classmethod
+    def load(cls, directory: str, cfg, params: Dict,
+             window: Optional[int] = None,
+             max_users: Optional[int] = None) -> "HistoryStore":
+        store = cls(cfg, params, window=window, max_users=max_users)
+        store._restore(directory)
+        return store
+
+    # ---------------------------------------------- deployment bundle --
+    def save_bundle(self, directory: str,
+                    quantize_embeddings: bool = False) -> None:
+        """Self-contained serving artifact, same layout as the memory
+        store's (params.npz + serving_config.json + user state) with
+        ``store: history`` so ``serving.load_bundle`` dispatches."""
+        import json
+
+        self.save(directory)
+        save_params_npz(self.params, directory, quantize_embeddings)
+        meta = {"config": self.cfg.to_dict(), "max_users": self.max_users,
+                "store": "history", "window": self.window}
+        with open(os.path.join(directory, "serving_config.json"), "w") as f:
+            json.dump(meta, f)
+
+    @classmethod
+    def load_bundle(cls, directory: str, **_ignored) -> "HistoryStore":
+        meta, cfg, params = load_bundle_params(directory)
+        if meta.get("store", "memory") != "history":
+            raise ValueError(f"bundle at {directory} is not a history-store "
+                             f"artifact")
+        return cls.load(directory, cfg, params, window=meta.get("window"),
+                        max_users=meta.get("max_users"))
+
+
+def load_bundle(directory: str, **kwargs):
+    """Open any save_bundle artifact with the right store class, dispatching
+    on serving_config.json's ``store`` field ("memory" = UserMemoryStore —
+    also the default for pre-r4 bundles — or "history")."""
+    import json
+
+    with open(os.path.join(directory, "serving_config.json")) as f:
+        kind = json.load(f).get("store", "memory")
+    if kind == "history":
+        for k in ("device_resident", "arena_dtype"):
+            kwargs.pop(k, None)  # memory-arena knobs; ids-only store
+        return HistoryStore.load_bundle(directory, **kwargs)
+    from .lifelong import UserMemoryStore
+
+    return UserMemoryStore.load_bundle(directory, **kwargs)

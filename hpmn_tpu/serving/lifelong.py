@@ -111,6 +111,62 @@ def _bundle_array(z, key: str) -> jnp.ndarray:
     return jnp.asarray(q * z["__q8scale__" + key])
 
 
+def save_params_npz(params: Dict, directory: str,
+                    quantize_embeddings: bool = False) -> list:
+    """Write a bundle's params.npz (shared by every store kind) — 2-D
+    embedding tables optionally per-row symmetric int8 — and return the
+    canonical leaf order."""
+    leaf_order, leaves, _ = flatten_with_keys(params)
+    arrays = {}
+    for key, leaf in zip(leaf_order, leaves):
+        a = np.asarray(leaf)
+        if (quantize_embeddings and key.startswith("['embedding'][")
+                and a.ndim == 2):
+            scale = np.abs(a).max(axis=1, keepdims=True) / 127.0
+            scale[scale == 0] = 1.0
+            q = np.clip(np.rint(a / scale), -127, 127).astype(np.int8)
+            arrays["__q8__" + key] = q
+            arrays["__q8scale__" + key] = scale.astype(np.float32)
+        else:
+            arrays[key] = a
+    np.savez(os.path.join(directory, "params.npz"), **arrays)
+    return leaf_order
+
+
+def load_bundle_params(directory: str):
+    """(meta dict, cfg, params) from any save_bundle artifact: rebuild the
+    param tree against a same-config init skeleton (exact pytree structure
+    — dicts, lists, GRUParams namedtuples) with saved arrays placed by
+    keystr path."""
+    import json
+
+    import ml_collections
+
+    with open(os.path.join(directory, "serving_config.json")) as f:
+        meta = json.load(f)
+    cfg = ml_collections.ConfigDict(meta["config"])
+    z = np.load(os.path.join(directory, "params.npz"))
+
+    from ..models import init_model
+
+    leaf = functools.partial(_bundle_array, z)
+
+    def rows(key):
+        full = key if key in z.files else "__q8__" + key
+        return int(z[full].shape[0])
+
+    n_items = rows("['embedding']['item']")
+    n_cats = rows("['embedding']['cat']")
+    has_user = ("['embedding']['user']" in z.files
+                or "__q8__['embedding']['user']" in z.files)
+    n_users = rows("['embedding']['user']") if has_user else 0
+    skeleton = init_model(jax.random.key(0), cfg, n_items, n_cats,
+                          n_users=n_users)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
+    leaves = [leaf(jax.tree_util.keystr(path)) for path, _ in flat]
+    return meta, cfg, jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 # Device-resident arena primitives: the donated in-place row write keeps
 # the [cap, L, dm] arena in HBM across calls, and the masked gather serves
 # unknown uids (row -1) as cold-start zeros — mirroring the host arena.
@@ -203,6 +259,13 @@ class UserMemoryStore:
         drift vs the f32 arena is bounded by test."""
         import ml_dtypes
 
+        if cfg.model.name != "hpmn":
+            raise ValueError(
+                f"model family {cfg.model.name!r} has no O(1) lifelong "
+                f"memory recurrence — UserMemoryStore serves HPMN only "
+                f"([P §4.5]). Serve this family with "
+                f"serving.history.HistoryStore (bounded recent-history "
+                f"window, batched re-encode per request).")
         self.cfg = cfg
         self.params = params
         self.L = cfg.model.hpmn_layers
@@ -501,21 +564,10 @@ class UserMemoryStore:
         import json
 
         self.save(directory)
-        leaf_order, leaves, _ = flatten_with_keys(self.params)
-        arrays = {}
-        for key, leaf in zip(leaf_order, leaves):
-            a = np.asarray(leaf)
-            if (quantize_embeddings and key.startswith("['embedding'][")
-                    and a.ndim == 2):
-                scale = np.abs(a).max(axis=1, keepdims=True) / 127.0
-                scale[scale == 0] = 1.0
-                q = np.clip(np.rint(a / scale), -127, 127).astype(np.int8)
-                arrays["__q8__" + key] = q
-                arrays["__q8scale__" + key] = scale.astype(np.float32)
-            else:
-                arrays[key] = a
-        np.savez(os.path.join(directory, "params.npz"), **arrays)
-        meta = {"config": self.cfg.to_dict(), "max_users": self.max_users}
+        leaf_order = save_params_npz(self.params, directory,
+                                     quantize_embeddings)
+        meta = {"config": self.cfg.to_dict(), "max_users": self.max_users,
+                "store": "memory"}
         if export_compiled:
             from .aot import export_serving
 
@@ -538,37 +590,13 @@ class UserMemoryStore:
                     arena_dtype: str = "float32") -> "UserMemoryStore":
         """Restore a :meth:`save_bundle` artifact (params + config +
         memory) without any trainer-side objects."""
-        import json
-
-        import ml_collections
-
-        with open(os.path.join(directory, "serving_config.json")) as f:
-            meta = json.load(f)
-        cfg = ml_collections.ConfigDict(meta["config"])
-        z = np.load(os.path.join(directory, "params.npz"))
-
-        # Rebuild the param tree against a same-config init skeleton: the
-        # skeleton provides the exact pytree structure (dicts, lists,
-        # GRUParams namedtuples, None leaves that tree_flatten skips); the
-        # saved arrays are placed by their keystr path.
-        from ..models import init_model
-
-        leaf = functools.partial(_bundle_array, z)
-
-        def rows(key):
-            full = key if key in z.files else "__q8__" + key
-            return int(z[full].shape[0])
-
-        vocab = {"n_items": rows("['embedding']['item']"),
-                 "n_cats": rows("['embedding']['cat']")}
-        has_user = ("['embedding']['user']" in z.files
-                    or "__q8__['embedding']['user']" in z.files)
-        n_users = rows("['embedding']['user']") if has_user else 0
-        skeleton = init_model(jax.random.key(0), cfg, vocab["n_items"],
-                              vocab["n_cats"], n_users=n_users)
-        flat, treedef = jax.tree_util.tree_flatten_with_path(skeleton)
-        leaves = [leaf(jax.tree_util.keystr(path)) for path, _ in flat]
-        params = jax.tree_util.tree_unflatten(treedef, leaves)
+        meta, cfg, params = load_bundle_params(directory)
+        kind = meta.get("store", "memory")
+        if kind != "memory":
+            raise ValueError(
+                f"bundle at {directory} is a {kind!r}-store artifact; load "
+                f"it with the matching store class (serving.load_bundle "
+                f"dispatches automatically)")
         return cls.load(directory, cfg, params,
                         max_users=meta.get("max_users"),
                         device_resident=device_resident,

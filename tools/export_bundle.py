@@ -97,18 +97,33 @@ def main(argv=None):
                      "(was the run trained with train.ema_decay > 0? pass "
                      "the same --set train.ema_decay=...)")
 
-    store = UserMemoryStore(cfg, serve_params)
+    # Store kind follows the model family: HPMN has the O(1) memory arena;
+    # every other family (BST & co) serves from the recent-history window
+    # store (serving/history.py).
+    if cfg.model.name == "hpmn":
+        store = UserMemoryStore(cfg, serve_params)
+        bundle_kw = dict(quantize_embeddings=args.quantize,
+                         export_compiled=args.export_compiled,
+                         export_platforms=tuple(args.platforms.split(",")))
+    else:
+        from hpmn_tpu.serving import HistoryStore
+
+        if args.export_compiled:
+            sys.exit("--export_compiled (AOT StableHLO) is implemented for "
+                     "the HPMN memory store only; the history store "
+                     "re-encodes through the full model graph")
+        store = HistoryStore(cfg, serve_params)
+        bundle_kw = dict(quantize_embeddings=args.quantize)
     if args.histories:
         z = np.load(args.histories)
         store.ingest_histories(z["uids"], z["item_seqs"], z["cat_seqs"],
                                masks=z["masks"] if "masks" in z.files
                                else None)
     os.makedirs(args.out, exist_ok=True)
-    store.save_bundle(args.out, quantize_embeddings=args.quantize,
-                      export_compiled=args.export_compiled,
-                      export_platforms=tuple(args.platforms.split(",")))
+    store.save_bundle(args.out, **bundle_kw)
     print(f"exported step {step} -> {args.out} "
-          f"(n_users={store.n_users}, quantized={args.quantize}, "
+          f"(store={'memory' if cfg.model.name == 'hpmn' else 'history'}, "
+          f"n_users={store.n_users}, quantized={args.quantize}, "
           f"ema={args.ema}, aot={args.export_compiled})")
 
 
