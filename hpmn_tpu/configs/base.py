@@ -116,7 +116,12 @@ def base_config() -> ml_collections.ConfigDict:
     # >1 removes per-dispatch host/runtime overhead (measured 19.9->16.7
     # ms/step on the XLong flagship at k=8) at the cost of coarser
     # logging/eval granularity. Supported on the single-device path and
-    # both sharded paths (GSPMD + shard_map).
+    # both sharded paths (GSPMD + shard_map). 0 = AUTO: the driver probes
+    # the geometric k ladder at startup and takes the knee for the
+    # ATTACHED link (train.probe_steps_per_dispatch) — the r3 shipped
+    # knees encoded this tunnel's 3-5 ms/dispatch latency, which other
+    # deployments don't pay (MEASURED_DISPATCH_KNEES keeps those
+    # measurements for tools/explicit override).
     c.train.steps_per_dispatch = 1
 
     c.mesh = ml_collections.ConfigDict()
@@ -173,6 +178,7 @@ def _amazon(c):
     c.model.hpmn_layers = 4  # T=100: periods 1,4,16,64
     c.model.hpmn_period = 4
     c.loss.l2_weight = 1e-4
+    c.eval_steps_per_dispatch = 8  # measured eval knee (BASELINE.md, r4)
     return c
 
 
@@ -181,6 +187,7 @@ def _taobao(c):
     c.model.hpmn_layers = 5  # T=300: periods 1,3,9,27,81
     c.model.hpmn_period = 3
     c.loss.l2_weight = 1e-5
+    c.eval_steps_per_dispatch = 8  # measured eval knee (BASELINE.md, r4)
     return c
 
 
@@ -189,15 +196,19 @@ def _xlong(c):
     c.model.hpmn_layers = 6  # T=1000: periods 1,3,...,243 (all layers fire;
     c.model.hpmn_period = 3  # period 4 would leave the 1024-period top dead)
     c.loss.l2_weight = 1e-5
+    # Measured eval knee on the tunneled chip (tools/bench_eval.py, r4):
+    # k=1 3.6k / k=4 5.4k / k=8 6.6k eval ex/s (1.8x); k=16 regressed on a
+    # 16-batch epoch (no inter-group pipelining left).
+    c.eval_steps_per_dispatch = 8
     # B=512 is the measured throughput optimum on TPU v5e (BASELINE.md:
     # 256 and 1024 both bench lower at k=1; with dispatch chaining B=1024
     # only ties it) — the config default IS the recorded headline shape.
     c.train.batch_size = 512
-    # Production default for the flagship: fuse 32 steps per dispatch
-    # (measured k sweeps at B=512: k=1 25.7k, k=8 27.9k, k=16 31.2k, k=24
-    # 31.6k, k=32 31.7k, k=64 31.9k ex/s with bf16-sized tiles — k=32
-    # captures the asymptote to ~1% at reasonable logging granularity).
-    c.train.steps_per_dispatch = 32
+    # Dispatch chaining ships AUTO (0): the startup probe takes the knee
+    # for the attached link. On this tunneled v5e the measured ladder was
+    # k=1 25.7k, k=8 27.9k, k=16 31.2k, k=24 31.6k, k=32 31.7k, k=64
+    # 31.9k ex/s (bf16 tiles) -> knee 32 (MEASURED_DISPATCH_KNEES).
+    c.train.steps_per_dispatch = 0
     return c
 
 
@@ -209,7 +220,7 @@ def amazon_hpmn() -> ml_collections.ConfigDict:
     c = _amazon(base_config())
     c.model.name = "hpmn"
     c.model.hpmn_layers = 1
-    c.train.steps_per_dispatch = 64
+    c.train.steps_per_dispatch = 0  # auto; tunnel knee was 64
     return c
 
 
@@ -225,7 +236,7 @@ def taobao_hpmn() -> ml_collections.ConfigDict:
     c.model.hpmn_layers = 3
     c.model.hpmn_period = 10
     c.train.batch_size = 512
-    c.train.steps_per_dispatch = 32
+    c.train.steps_per_dispatch = 0  # auto; tunnel knee was 32
     return c
 
 
@@ -243,7 +254,7 @@ def taobao_dien() -> ml_collections.ConfigDict:
     c = _taobao(base_config())
     c.model.name = "dien"
     c.train.batch_size = 512
-    c.train.steps_per_dispatch = 16
+    c.train.steps_per_dispatch = 0  # auto; tunnel knee was 16
     return c
 
 
@@ -252,7 +263,7 @@ def amazon_rum() -> ml_collections.ConfigDict:
     (104.5k ex/s/chip vs 11.2k at k=1, BASELINE.md)."""
     c = _amazon(base_config())
     c.model.name = "rum"
-    c.train.steps_per_dispatch = 64
+    c.train.steps_per_dispatch = 0  # auto; tunnel knee was 64
     return c
 
 
@@ -261,7 +272,7 @@ def amazon_gru4rec() -> ml_collections.ConfigDict:
     (266k ex/s/chip vs 10.4k at k=1, BASELINE.md)."""
     c = _amazon(base_config())
     c.model.name = "gru4rec"
-    c.train.steps_per_dispatch = 64
+    c.train.steps_per_dispatch = 0  # auto; tunnel knee was 64
     return c
 
 
@@ -274,7 +285,7 @@ def taobao_bst() -> ml_collections.ConfigDict:
     c = _taobao(base_config())
     c.model.name = "bst"
     c.train.batch_size = 256
-    c.train.steps_per_dispatch = 16
+    c.train.steps_per_dispatch = 0  # auto; tunnel knee was 16
     return c
 
 
@@ -291,9 +302,26 @@ def xlong_bst() -> ml_collections.ConfigDict:
     c = _xlong(base_config())
     c.model.name = "bst"
     c.train.batch_size = 256
-    c.train.steps_per_dispatch = 16
+    c.train.steps_per_dispatch = 0  # auto; tunnel knee was 16
     c.model.bst_attn_chunk = 128
     return c
+
+
+# Dispatch-chaining knees measured on the r2/r3 tunneled TPU v5e (BASELINE.md
+# matrix; 3-5 ms/dispatch relay). Configs ship steps_per_dispatch=0 (auto:
+# the startup probe re-derives the knee for the attached link); this table
+# keeps the tunnel measurements for tools that need a fixed k without
+# probing (tools/bench_config.py) and as the documented reference point.
+MEASURED_DISPATCH_KNEES = {
+    "amazon_hpmn": 64,
+    "taobao_hpmn": 32,
+    "xlong_hpmn": 32,
+    "taobao_dien": 16,
+    "amazon_rum": 64,
+    "amazon_gru4rec": 64,
+    "taobao_bst": 16,
+    "xlong_bst": 16,
+}
 
 
 _CONFIGS = {

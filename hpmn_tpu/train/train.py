@@ -226,6 +226,71 @@ def make_eval_step(cfg, lookup_fn=None, gru_seq_fn=None) -> Callable:
     return eval_step
 
 
+def probe_steps_per_dispatch(cfg, build_train, params, opt_state, spec,
+                             log: Callable[[str], None] = print,
+                             tol: float = 0.03, repeats: int = 2,
+                             n_stacks: int = 3) -> int:
+    """Derive the dispatch-chaining knee for THE ATTACHED LINK at startup
+    (``train.steps_per_dispatch = 0``). The shipped r3 knees encoded this
+    tunnel's 3-5 ms/dispatch latency; a production-attached chip pays ~10x
+    less and the knee moves (BASELINE.md) — so when the config ships
+    "auto", time the full geometric ladder k = 1, 2, 4, ... (capped by 64,
+    eval_every and max_steps — dispatch granularity bounds eval/ckpt
+    cadence) and pick the SMALLEST k within ``tol`` of the best per-step
+    time. Each rung times repeats x n_stacks fused dispatches on distinct
+    synthetic stacks (the relay dedups identical dispatches) ending in a
+    scalar pull (block_until_ready lies over the tunnel); params/opt flow
+    through copies so donation cannot consume the caller's buffers, and
+    every measurement is discarded. Multi-host: the choice is made on
+    process 0 and broadcast, so all hosts build identical programs.
+    Measured-knee reproduction on this tunnel is recorded in BASELINE.md.
+    """
+    import jax.numpy as jnp
+
+    from ..data.schema import dummy_batch, to_device_arrays
+
+    B, T = cfg.train.batch_size, spec.seq_len
+    pool = [to_device_arrays(dummy_batch(B, T, spec.n_items, spec.n_cats,
+                                         seed=7000 + i))
+            for i in range(n_stacks + 1)]
+    cap = max(1, min(64, cfg.train.eval_every, cfg.train.max_steps))
+
+    def time_k(k):
+        step = build_train(k)
+        if k > 1:
+            make = lambda i: jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[pool[(i + j) % len(pool)] for j in range(k)])
+        else:
+            make = lambda i: pool[i % len(pool)]
+        p, o = jax.tree.map(jnp.copy, (params, opt_state))
+        p, o, m = step(p, o, make(0))  # compile + warm
+        float(m["loss"])
+        t0 = time.time()
+        for r in range(repeats):
+            for i in range(n_stacks):
+                p, o, m = step(p, o, make(1 + i))
+        float(m["loss"])
+        return (time.time() - t0) / (repeats * n_stacks * k)
+
+    ladder, k = {}, 1
+    while k <= cap:
+        ladder[k] = time_k(k)
+        k *= 2
+    best_t = min(ladder.values())
+    choice = min(kk for kk, t in ladder.items() if t <= best_t * (1 + tol))
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        choice = int(multihost_utils.broadcast_one_to_all(
+            np.asarray(choice, np.int32)))
+    log("autotuned steps_per_dispatch=" + str(choice) + " (ms/step: "
+        + ", ".join(f"k={kk}:{t * 1e3:.2f}" for kk, t in ladder.items())
+        + f"; cap {cap})")
+    return choice
+
+
 def fuse_eval(eval_fn: Callable) -> Callable:
     """Chain k eval batches into ONE dispatch: ``lax.map`` over a stacked
     [k, B, ...] Batch -> [k, B] logits (no carry — eval is a trivial scan).
@@ -309,7 +374,11 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         opt_shardings = param_shardings(mesh, jax.eval_shape(tx.init, params))
         opt_state = jax.jit(tx.init, out_shardings=opt_shardings)(params)
         jit_train, jit_eval = make_shardmap_steps(cfg, tx, mesh)
-        train_step = jit_train(params, opt_state)
+
+        def build_train(k2):
+            cfg.train.steps_per_dispatch = k2
+            return make_shardmap_steps(cfg, tx, mesh)[0](params, opt_state)
+
         _eval_step = jit_eval(params)
         eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b,
                                                            over=over))
@@ -339,7 +408,11 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             tx.init(params), jax.tree.map(lambda _: rep,
                                           jax.eval_shape(tx.init, params)))
         jit_train, jit_eval = make_sp_steps(cfg, tx, mesh)
-        train_step = jit_train(params, opt_state)
+
+        def build_train(k2):
+            cfg.train.steps_per_dispatch = k2
+            return make_sp_steps(cfg, tx, mesh)[0](params, opt_state)
+
         _eval_step = jit_eval(params)
         eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b))
         if ke > 1 and jax.process_count() == 1:
@@ -378,7 +451,12 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         make_steps = (make_shardmap_steps if cfg.model.use_pallas or bom
                       else make_sharded_steps)
         jit_train, jit_eval = make_steps(cfg, tx, mesh, gru_seq_fn=gru_seq_fn)
-        train_step = jit_train(params, opt_state)
+
+        def build_train(k2):
+            cfg.train.steps_per_dispatch = k2
+            return make_steps(cfg, tx, mesh,
+                              gru_seq_fn=gru_seq_fn)[0](params, opt_state)
+
         _eval_step = jit_eval(params)
         eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b,
                                                            over=over))
@@ -395,14 +473,25 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         params = init_model(jax.random.key(cfg.seed), cfg, spec.n_items,
                             spec.n_cats, n_users=spec.n_users)
         opt_state = tx.init(params)
-        if cfg.train.steps_per_dispatch > 1:
-            train_step = make_multistep_train(cfg, tx, lookup_fn, gru_seq_fn)
-        else:
-            train_step = make_train_step(cfg, tx, lookup_fn, gru_seq_fn)
+
+        def build_train(k2):
+            cfg.train.steps_per_dispatch = k2
+            if k2 > 1:
+                return make_multistep_train(cfg, tx, lookup_fn, gru_seq_fn)
+            return make_train_step(cfg, tx, lookup_fn, gru_seq_fn)
+
         eval_step = make_eval_step(cfg, lookup_fn, gru_seq_fn)
         if ke > 1:
             fused_eval = make_fused_eval(cfg, lookup_fn, gru_seq_fn)
         place = lambda b: jax.tree.map(jax.device_put, b)
+
+    # steps_per_dispatch == 0 ("auto"): probe the dispatch-chaining knee
+    # for the attached link, then build the step at the chosen k. Explicit
+    # values skip the probe entirely (the override path).
+    if cfg.train.steps_per_dispatch == 0:
+        cfg.train.steps_per_dispatch = probe_steps_per_dispatch(
+            cfg, build_train, params, opt_state, spec, log)
+    train_step = build_train(cfg.train.steps_per_dispatch)
 
     mngr = None
     start_step = 0

@@ -241,6 +241,27 @@ for mode in ("psum", "a2a"):
     print(f"proc {pid} prod_{mode} loss {float(m2['loss']):.10f} "
           f"diff {d:.3e}")
 
+# Bucketed exchange + batch_over_model across the 2 processes: the batch
+# shards over ("data", "model") so ids arrive shard-local, the sort-by-
+# owner a2a moves only owned rows, and the lookup VJP's 1/n_model scaling
+# composes with the unscaled l2 gradient (ARCHITECTURE §5) — still the
+# Pallas (interpret) kernels.
+cfg.mesh.embedding_mode = "a2a"
+cfg.mesh.batch_over_model = True
+mesh_b = make_mesh(model_parallel=2)
+params_b = init_sharded_model(jax.random.key(0), cfg, n_items, n_cats,
+                              mesh_b)
+opt_b = jax.device_put(tx.init(params_b),
+                       param_shardings(mesh_b, tx.init(params_b)))
+jit_train_b, _ = make_shardmap_steps(cfg, tx, mesh_b)
+step_b = jit_train_b(params_b, opt_b)
+p2b, _, m2b = step_b(params_b, opt_b,
+                     shard_batch(mesh_b, local, over=("data", "model")))
+db = max_diff_vs_ref(mesh_b, p2b, p_ref)
+assert db < 2e-5, db
+print(f"proc {pid} prod_bom loss {float(m2b['loss']):.10f} diff {db:.3e}")
+cfg.mesh.batch_over_model = False
+
 # Sequence-parallel leg across the 2 processes: (data=2, seq=2) mesh,
 # pipelined T-sharded scans; params stay replicated.
 from hpmn_tpu.parallel.seq_parallel import make_sp_mesh, make_sp_steps
@@ -292,7 +313,7 @@ def test_two_process_production_paths():
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-3000:]
     # identical losses and diffs on both hosts, and all legs ran
-    for tag in ("prod_psum", "prod_a2a", "prod_sp"):
+    for tag in ("prod_psum", "prod_a2a", "prod_bom", "prod_sp"):
         lines = {ln.split("loss")[1] for o in outs
                  for ln in o.splitlines() if tag in ln}
         assert len(lines) == 1, (tag, lines)

@@ -384,3 +384,20 @@ def test_fused_eval_matches_per_batch():
         res_sd[ke] = train(cfg, log=lambda s: None)
     for a, b in zip(res_sd[1]["history"], res_sd[3]["history"]):
         assert a == b, (a, b)
+
+
+@pytest.mark.slow
+def test_autotune_steps_per_dispatch():
+    """train.steps_per_dispatch=0 (the configs' shipped 'auto') probes the
+    k ladder at startup, resolves to a valid knee (capped by eval_every),
+    logs the ladder, and trains normally — on both the mesh and the
+    single-device routes."""
+    for mesh_enable in (True, False):
+        cfg = _small_cfg(**{"train.max_steps": 24, "train.eval_every": 12})
+        cfg.mesh.enable = mesh_enable
+        cfg.train.steps_per_dispatch = 0
+        logs = []
+        res = train(cfg, log=logs.append)
+        assert any("autotuned steps_per_dispatch=" in s for s in logs), logs
+        assert 1 <= cfg.train.steps_per_dispatch <= 12
+        assert np.isfinite(res["test"]["log_loss"])

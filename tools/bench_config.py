@@ -45,7 +45,13 @@ def main():
     cfg = get_config(args.config)
     if args.batch:
         cfg.train.batch_size = args.batch
-    k = args.k or cfg.train.steps_per_dispatch
+    # Configs ship steps_per_dispatch=0 (auto-probe at train startup); this
+    # harness measures a FIXED k, so auto resolves to the recorded tunnel
+    # knee (override with --k).
+    from hpmn_tpu.configs.base import MEASURED_DISPATCH_KNEES
+
+    k = (args.k or cfg.train.steps_per_dispatch
+         or MEASURED_DISPATCH_KNEES.get(args.config, 16))
     spec = SPECS[cfg.dataset]
 
     flagship = not args.no_flagship

@@ -53,6 +53,9 @@ def main():
         cfg.train.log_every = 10 ** 9
         cfg.train.early_stop_patience = 10 ** 9
         cfg.model.use_pallas = args.use_pallas
+        if cfg.train.steps_per_dispatch == 0:
+            # quality comparison: skip the throughput autotune probe
+            cfg.train.steps_per_dispatch = 1
         res = train(cfg, log=lambda s: None)
         results[name] = res
         print(f"{name:>8}: test AUC {res['test']['auc']:.4f}  "

@@ -1,7 +1,9 @@
 """Batch scorer over a serving bundle — the offline serving entry point.
 
-Loads a ``UserMemoryStore.save_bundle`` artifact and scores candidate
-items for users, reading requests from an npz and writing scores back:
+Loads any ``save_bundle`` artifact (HPMN memory store or the BST-family
+history store — dispatched on the bundle's store kind) and scores
+candidate items for users, reading requests from an npz and writing
+scores back:
 
     python tools/serve_batch.py --bundle DIR --requests req.npz --out out.npz
         [--device_resident] [--update]
@@ -42,10 +44,9 @@ def main(argv=None):
         import jax
         jax.config.update("jax_platforms", "cpu")  # sitecustomize overrides env
 
-    from hpmn_tpu.serving import UserMemoryStore
+    from hpmn_tpu.serving import load_bundle
 
-    store = UserMemoryStore.load_bundle(args.bundle,
-                                        device_resident=args.device_resident)
+    store = load_bundle(args.bundle, device_resident=args.device_resident)
     req = np.load(args.requests)
     uids = req["uids"]
     if args.update:

@@ -50,6 +50,9 @@ def main(argv=None):
     for point in itertools.product(*axes):
         overrides = args.set + [f"{k}={v}" for k, v in point]
         cfg = apply_overrides(get_config(args.config), overrides)
+        if cfg.train.steps_per_dispatch == 0:
+            # quality sweep: skip the per-trial throughput autotune probe
+            cfg.train.steps_per_dispatch = 1
         res = train(cfg, log=lambda s: None)
         row = {"trial": dict(point),
                "best_val_auc": res["best_val_auc"],
