@@ -113,6 +113,55 @@ def test_bucket_slots_layout_and_overflow():
     assert int(np.sum(np.asarray(slot2) == 4 * 2)) == 1  # one dropped
 
 
+@pytest.mark.heavy
+def test_bucketed_gather_property_sweep(mesh24):
+    """Randomized sweep over id distributions (uniform, skewed-to-one-
+    owner, heavy duplicates, single repeated id), query counts not
+    divisible by the shard count, and capacity factors down to 0.5 (the
+    fallback-forcing regime): values AND grads == the dense gather."""
+    from hypothesis import given, settings, strategies as st
+
+    V, d = N_ITEMS, 4
+    rng0 = np.random.default_rng(42)
+    table = jnp.asarray(rng0.normal(size=(V, d)).astype(np.float32))
+    tab_sh = jax.device_put(table, jax.NamedSharding(mesh24,
+                                                     P(MODEL_AXIS, None)))
+
+    @settings(max_examples=25, deadline=None)
+    @given(n_per=st.integers(1, 9), factor=st.sampled_from([0.5, 1.0, 2.0]),
+           dist=st.sampled_from(["uniform", "skew", "dups", "const"]),
+           seed=st.integers(0, 7))
+    def run(n_per, factor, dist, seed):
+        rng = np.random.default_rng(seed)
+        n = n_per * 8  # global count over the 8 (data x model) shards
+        if dist == "uniform":
+            ids = rng.integers(0, V, size=n)
+        elif dist == "skew":
+            ids = rng.integers(0, V // S, size=n)  # all owner 0
+        elif dist == "dups":
+            ids = rng.integers(0, V, size=max(1, n // 4))[
+                rng.integers(0, max(1, n // 4), size=n)]
+        else:
+            ids = np.full(n, int(rng.integers(0, V)))
+        ids = jnp.asarray(ids, jnp.int32)
+        cap = _capacity(n_per, S, factor)
+        jf, _ = _run_gather(mesh24, table, ids, cap)
+        out = jf(tab_sh, ids)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(jnp.take(table, ids, axis=0)),
+                                   atol=1e-6)
+        gs = jax.jit(jax.grad(lambda t: jnp.sum(jnp.cos(jf(t, ids)))))(
+            tab_sh)
+        gd = jax.grad(lambda t: jnp.sum(jnp.cos(jnp.take(t, ids,
+                                                         axis=0))))(table)
+        # atol covers N-way accumulation-order drift (duplicate-heavy and
+        # const distributions sum many cotangents into one row)
+        np.testing.assert_allclose(np.asarray(jax.device_get(gs)),
+                                   np.asarray(gd), atol=5e-5, rtol=1e-5)
+
+    run()
+
+
 def _single_device_reference(cfg, batch, tx):
     params0 = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
     (_, _), g0 = jax.value_and_grad(loss_fn, has_aux=True)(params0, cfg,

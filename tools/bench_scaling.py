@@ -39,6 +39,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def bench_size(d: int, cfg, per_device_batch: int, steps: int,
                use_pallas: bool, seq_parallel: int = 1,
                model_parallel: int = 1):
+    bom = bool(getattr(cfg.mesh, "batch_over_model", False)) \
+        and model_parallel > 1
     import jax
     import numpy as np
     import optax
@@ -54,16 +56,20 @@ def bench_size(d: int, cfg, per_device_batch: int, steps: int,
                      seq_parallel=seq_parallel, devices=jax.devices()[:d])
     n_data = d // (seq_parallel * model_parallel)
     # Weak scaling holds per-DATA-shard work constant; seq/model shards
-    # cooperate on the same examples rather than adding more.
-    B = per_device_batch * n_data
+    # cooperate on the same examples rather than adding more — EXCEPT
+    # under batch_over_model, where model shards each carry their own
+    # example slice (the bucketed-a2a regime, ARCHITECTURE §5).
+    B = per_device_batch * n_data * (model_parallel if bom else 1)
     cfg.train.batch_size = B
     cfg.model.use_pallas = use_pallas
 
     n_batches = 3  # distinct batches: the axon relay dedups identical dispatches
     arrays = make_ctr_dataset(spec, n_batches * B, seed=0, min_len_frac=1.0)
     arrays["seq_mask"][:] = 1.0
+    over = ("data", "model") if bom else ("data",)
     batches = [shard_batch(mesh, to_device_arrays(batch_from_numpy(
-        arrays, np.arange(i * B, (i + 1) * B)))) for i in range(n_batches)]
+        arrays, np.arange(i * B, (i + 1) * B))), over=over)
+        for i in range(n_batches)]
 
     params = init_sharded_model(jax.random.key(0), cfg, spec.n_items,
                                 spec.n_cats, mesh)
@@ -95,6 +101,11 @@ def main():
                     help="seq-axis size within each mesh size (SP legs)")
     ap.add_argument("--model_parallel", type=int, default=1,
                     help="model-axis size within each mesh size (TP legs)")
+    ap.add_argument("--embedding_mode", default="",
+                    help="psum | a2a (default: psum when model_parallel>1)")
+    ap.add_argument("--batch_over_model", action="store_true",
+                    help="shard the batch over (data, model): the bucketed "
+                         "a2a regime — requires --embedding_mode a2a")
     ap.add_argument("--force_cpu", action="store_true",
                     help="run on virtual CPU devices (harness validation)")
     args = ap.parse_args()
@@ -123,12 +134,17 @@ def main():
     if args.seq_parallel > 1:
         cfg.mesh.seq_parallel = args.seq_parallel
         cfg.model.use_pallas = False  # seq axis owns gru_seq_fn
-    if args.model_parallel > 1 and cfg.mesh.embedding_mode == "replicated":
+    if args.embedding_mode:
+        cfg.mesh.embedding_mode = args.embedding_mode
+    elif args.model_parallel > 1 and cfg.mesh.embedding_mode == "replicated":
         cfg.mesh.embedding_mode = "psum"
+    cfg.mesh.batch_over_model = args.batch_over_model
     out = {"metric": "dp_weak_scaling", "platform": platform,
            "config": args.config, "per_device_batch": pdb,
            "seq_parallel": args.seq_parallel,
-           "model_parallel": args.model_parallel, "sizes": {}}
+           "model_parallel": args.model_parallel,
+           "embedding_mode": cfg.mesh.embedding_mode,
+           "batch_over_model": args.batch_over_model, "sizes": {}}
     base = None
     for d in sizes:
         if d > n_dev:
