@@ -169,9 +169,11 @@ class AotStore(UserMemoryStore):
 
 def load_aot_store(directory: str,
                    max_users: Optional[int] = None,
-                   arena_dtype: str = "float32") -> AotStore:
+                   arena_dtype: str = "float32"):
     """Restore a bundle saved with ``save_bundle(export_compiled=True)``
-    into an :class:`AotStore` — no trainer/model code involved."""
+    into an :class:`AotStore` (HPMN memory bundles) or an
+    :class:`history.AotHistoryStore` (history bundles — dispatched on the
+    bundle's store kind) — no trainer/model code involved."""
     import ml_collections
 
     from .lifelong import _bundle_array
@@ -192,9 +194,15 @@ def load_aot_store(directory: str,
     for kind in exp_meta["kinds"]:
         with open(os.path.join(directory, f"exported_{kind}.bin"), "rb") as f:
             exported[kind] = jax_export.deserialize(f.read())
-    store = AotStore(cfg, leaves, exported,
-                     max_users=max_users if max_users is not None
-                     else meta.get("max_users"),
+    mu = max_users if max_users is not None else meta.get("max_users")
+    if meta.get("store", "memory") == "history":
+        from .history import AotHistoryStore
+
+        store = AotHistoryStore(cfg, leaves, exported["score"],
+                                window=meta.get("window"), max_users=mu)
+        store._restore(directory)
+        return store
+    store = AotStore(cfg, leaves, exported, max_users=mu,
                      arena_dtype=arena_dtype)
     uids, mem, cnt = load_user_memory(directory)
     if len(uids):

@@ -277,16 +277,36 @@ class HistoryStore:
 
     # ---------------------------------------------- deployment bundle --
     def save_bundle(self, directory: str,
-                    quantize_embeddings: bool = False) -> None:
+                    quantize_embeddings: bool = False,
+                    export_compiled: bool = False,
+                    export_platforms=("cpu", "tpu")) -> None:
         """Self-contained serving artifact, same layout as the memory
         store's (params.npz + serving_config.json + user state) with
-        ``store: history`` so ``serving.load_bundle`` dispatches."""
+        ``store: history`` so ``serving.load_bundle`` dispatches.
+
+        export_compiled: additionally serialize the SCORING graph (the one
+        device function this store has — updates are host-only) as
+        multi-platform StableHLO with a symbolic batch dim, so
+        ``aot.load_aot_store`` serves the bundle with zero model code
+        (``hpmn-serve --aot``), mirroring the memory store's AOT path."""
         import json
 
         self.save(directory)
-        save_params_npz(self.params, directory, quantize_embeddings)
+        leaf_order = save_params_npz(self.params, directory,
+                                     quantize_embeddings)
         meta = {"config": self.cfg.to_dict(), "max_users": self.max_users,
                 "store": "history", "window": self.window}
+        if export_compiled:
+            blob = export_history_scoring(self.cfg, self.params,
+                                          self.window,
+                                          platforms=export_platforms)
+            with open(os.path.join(directory, "exported_score.bin"),
+                      "wb") as f:
+                f.write(blob)
+            meta["exported"] = {"kinds": ["score"],
+                                "leaf_order": leaf_order,
+                                "platforms": list(export_platforms),
+                                "jax_version": jax.__version__}
         with open(os.path.join(directory, "serving_config.json"), "w") as f:
             json.dump(meta, f)
 
@@ -298,6 +318,73 @@ class HistoryStore:
                              f"artifact")
         return cls.load(directory, cfg, params, window=meta.get("window"),
                         max_users=meta.get("max_users"))
+
+
+def export_history_scoring(cfg, params: Dict, window: int,
+                           platforms=("cpu", "tpu")) -> bytes:
+    """Serialize the history store's scoring function — window re-encode
+    with the candidate as attention target — as multi-platform StableHLO
+    (symbolic batch dim: one artifact serves any request size). The
+    exported math IS ``apply_model``, so trainer and AOT host cannot
+    drift at export time. Equivalence (dense and chunked attention)
+    asserted in tests/test_serving_history.py."""
+    from jax import export as jax_export
+
+    from ..models import apply_model
+    from .lifelong import flatten_with_keys
+
+    _, leaves, treedef = flatten_with_keys(params)
+    leaf_specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in leaves]
+
+    def score_fn(items, cats, mask, uids, ci, cc, *leaves_):
+        p = jax.tree_util.tree_unflatten(treedef, leaves_)
+        z = jnp.zeros_like(items)
+        batch = Batch(uid=uids, item_seq=items, cat_seq=cats, seq_mask=mask,
+                      target_item=ci, target_cat=cc,
+                      label=jnp.zeros((items.shape[0],), jnp.float32),
+                      neg_item_seq=z, neg_cat_seq=z)
+        logits, _ = apply_model(p, cfg, batch)
+        return jax.nn.sigmoid(logits)
+
+    (b,) = jax_export.symbolic_shape("b")
+    i32, f32 = jnp.int32, jnp.float32
+    win_i = jax.ShapeDtypeStruct((b, window), i32)
+    exp = jax_export.export(jax.jit(score_fn), platforms=list(platforms))(
+        win_i, win_i, jax.ShapeDtypeStruct((b, window), f32),
+        jax.ShapeDtypeStruct((b,), i32), jax.ShapeDtypeStruct((b,), i32),
+        jax.ShapeDtypeStruct((b,), i32), *leaf_specs)
+    return bytes(exp.serialize())
+
+
+class AotHistoryStore(HistoryStore):
+    """A :class:`HistoryStore` whose scoring runs a pre-exported StableHLO
+    graph — zero model code on the serving host (the history-store mirror
+    of ``aot.AotStore``; load via ``aot.load_aot_store`` / ``hpmn-serve
+    --aot``). Updates and ingest are host-side array writes and work
+    unchanged; ``save()`` persists state; re-exporting a bundle needs the
+    trainer-side store."""
+
+    def __init__(self, cfg, leaves, exported, window=None, max_users=None):
+        super().__init__(cfg, params=None, window=window,
+                         max_users=max_users)
+        self._leaves = [jnp.asarray(a) for a in leaves]
+        # jit re-specializes the symbolic-batch graph per concrete request
+        # shape (same rationale/measurement as AotStore: shape-generic
+        # execution measured 1.7-2.7x slower; the daemon's power-of-two
+        # buckets bound the compile count).
+        run = jax.jit(exported.call)
+
+        def score(_params, batch):
+            return run(batch.item_seq, batch.cat_seq, batch.seq_mask,
+                       batch.uid, batch.target_item, batch.target_cat,
+                       *self._leaves)
+
+        self._score = score
+
+    def save_bundle(self, *a, **k):
+        raise ValueError("AotHistoryStore cannot re-export a bundle; its "
+                         "window state persists via save() (the daemon's "
+                         "--save_on_exit path)")
 
 
 def load_bundle(directory: str, **kwargs):

@@ -220,3 +220,48 @@ def test_daemon_serves_history_bundle(setup, tmp_path):
             np.asarray(ranked)[0, 0],
             np.asarray(cli.predict([1], [5], [1]))[0], atol=1e-5)
         cli.close()
+
+
+@pytest.mark.parametrize("chunked", [False, True])
+def test_aot_history_bundle(setup, tmp_path, chunked):
+    """save_bundle(export_compiled=True) on a history store -> the scoring
+    graph as StableHLO; aot.load_aot_store dispatches to AotHistoryStore
+    (zero model code) and scores identically to the jit store — dense and
+    key-chunked attention. Updates/ingest stay host-side and work."""
+    import os
+
+    from hpmn_tpu.serving import load_aot_store
+    from hpmn_tpu.serving.history import AotHistoryStore
+
+    cfg, params = setup
+    if chunked:
+        cfg = _cfg()
+        cfg.model.bst_blocks = 2
+        cfg.model.bst_attn_chunk = 4
+        params = init_model(jax.random.key(2), cfg, N_ITEMS, N_CATS)
+    store = HistoryStore(cfg, params, window=W)
+    rng = np.random.default_rng(7)
+    for t in range(W + 3):
+        store.update([1, 2], rng.integers(1, N_ITEMS, 2),
+                     rng.integers(1, N_CATS, 2))
+    d = str(tmp_path / "aot_bundle")
+    os.makedirs(d)
+    store.save_bundle(d, export_compiled=True, export_platforms=("cpu",))
+
+    aot = load_aot_store(d)
+    assert isinstance(aot, AotHistoryStore)
+    cand = np.asarray([9, 10], np.int32)
+    np.testing.assert_allclose(
+        aot.predict([1, 2], cand, cand % N_CATS),
+        store.predict([1, 2], cand, cand % N_CATS), atol=1e-6)
+    ci = rng.integers(1, N_ITEMS, size=(2, 3)).astype(np.int32)
+    np.testing.assert_allclose(
+        aot.rank([1, 2], ci, ci % N_CATS),
+        store.rank([1, 2], ci, ci % N_CATS), atol=1e-6)
+    # host-side updates flow through the exported scorer
+    aot.update([1], [5], [2])
+    store.update([1], [5], [2])
+    np.testing.assert_allclose(aot.predict([1], [3], [1]),
+                               store.predict([1], [3], [1]), atol=1e-6)
+    with pytest.raises(ValueError, match="re-export"):
+        aot.save_bundle(d)

@@ -102,18 +102,13 @@ def main(argv=None):
     # store (serving/history.py).
     if cfg.model.name == "hpmn":
         store = UserMemoryStore(cfg, serve_params)
-        bundle_kw = dict(quantize_embeddings=args.quantize,
-                         export_compiled=args.export_compiled,
-                         export_platforms=tuple(args.platforms.split(",")))
     else:
         from hpmn_tpu.serving import HistoryStore
 
-        if args.export_compiled:
-            sys.exit("--export_compiled (AOT StableHLO) is implemented for "
-                     "the HPMN memory store only; the history store "
-                     "re-encodes through the full model graph")
         store = HistoryStore(cfg, serve_params)
-        bundle_kw = dict(quantize_embeddings=args.quantize)
+    bundle_kw = dict(quantize_embeddings=args.quantize,
+                     export_compiled=args.export_compiled,
+                     export_platforms=tuple(args.platforms.split(",")))
     if args.histories:
         z = np.load(args.histories)
         store.ingest_histories(z["uids"], z["item_seqs"], z["cat_seqs"],
