@@ -171,10 +171,37 @@ def check_bst_target_query(batch_size: int = 32, seed: int = 0):
         return float(loss), flat.astype(np.float64)
 
     loss_a, g_a = run(full_encode, "highest")   # on-chip truth anchor
+    loss_e, g_e = run(None, "highest")          # production, SAME precision
     loss_x, g_x = run(full_encode, "default")
     loss_p, g_p = run(None, "default")          # production encoder
 
-    return _verdict(loss_a, loss_x, loss_p, g_a, g_x, g_p)
+    # Two gates (r4 — the first on-chip run of this leg showed why the
+    # Pallas legs' loss rule is mis-specified here): (1) ALGEBRAIC
+    # EXACTNESS, compiled on chip — production vs reference at the
+    # anchor's own HIGHEST precision must agree to f32 rounding (measured
+    # 1.2e-7 loss diff); (2) default-precision gradient noise under the
+    # usual anchor/ratio rule. The default-precision LOSS diff is reported
+    # but NOT ratio-gated: the production graph has different matmul
+    # shapes, so its MXU rounding walk is not bounded by the
+    # same-structure reference's (measured 1.2e-4 vs 4.6e-6 — pure
+    # precision noise; gate (1) is what verifies the claim).
+    scale = float(np.max(np.abs(g_a)))
+    exact_loss = abs(loss_e - loss_a)
+    exact_rel = float(np.max(np.abs(g_e - g_a))) / scale
+    rel_x = float(np.max(np.abs(g_x - g_a))) / scale
+    rel_p = float(np.max(np.abs(g_p - g_a))) / scale
+    ok = (exact_loss < 1e-5 and exact_rel < GRAD_FLOOR
+          and rel_p < max(GRAD_FLOOR, RATIO * rel_x))
+    return {
+        "exact_loss_diff": exact_loss,
+        "exact_rel": exact_rel,
+        "loss_diff": abs(loss_p - loss_a),
+        "loss_diff_xla": abs(loss_x - loss_a),
+        "rel_pallas": rel_p,
+        "rel_xla": rel_x,
+        "grad_scale": scale,
+        "pass": ok,
+    }
 
 
 def main():
