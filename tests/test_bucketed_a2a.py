@@ -253,3 +253,39 @@ def test_batch_over_model_multistep_matches_sequential():
     chex.assert_trees_all_close(jax.device_get(p_seq), jax.device_get(p_k),
                                 atol=1e-6)
     chex.assert_trees_all_close(m_seq["loss"], m_k["loss"], atol=1e-6)
+
+
+@pytest.mark.heavy
+@pytest.mark.parametrize("factory_name,bom", [("gspmd", False),
+                                              ("shardmap", False),
+                                              ("shardmap", True)])
+def test_fused_eval_with_a2a_lookup(factory_name, bom):
+    """jit_eval.fused (lax.map-chained eval) composed with the bucketed
+    a2a lookup inside the mapped body — on the GSPMD and shard_map
+    factories, with and without batch_over_model — scores == dense."""
+    import optax
+
+    from hpmn_tpu.parallel import make_sharded_steps
+
+    mesh = make_mesh(model_parallel=S, devices=jax.devices()[:8])
+    cfg = get_config("amazon_hpmn")
+    cfg.train.steps_per_dispatch = 1
+    cfg.model.hpmn_layers = 2
+    cfg.mesh.embedding_mode = "a2a"
+    cfg.mesh.batch_over_model = bom
+    over = ("data", "model") if bom else ("data",)
+    factory = make_sharded_steps if factory_name == "gspmd" \
+        else make_shardmap_steps
+    params = init_sharded_model(jax.random.key(0), cfg, N_ITEMS, N_CATS,
+                                mesh)
+    _, jit_eval = factory(cfg, optax.sgd(1e-2), mesh)
+    fe = jit_eval.fused(params)
+    batches = [to_device_arrays(dummy_batch(8, 12, N_ITEMS, N_CATS, seed=s))
+               for s in (1, 2, 3)]
+    stack = jax.tree.map(lambda *xs: jnp.stack(xs), *batches)
+    out = np.asarray(jax.device_get(
+        fe(params, shard_batch(mesh, stack, stacked=True, over=over))))
+    p_ref = init_model(jax.random.key(0), cfg, N_ITEMS, N_CATS)
+    for i, b in enumerate(batches):
+        want, _ = apply_model(p_ref, cfg, b)
+        np.testing.assert_allclose(out[i], np.asarray(want), atol=1e-4)
