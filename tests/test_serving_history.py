@@ -265,3 +265,31 @@ def test_aot_history_bundle(setup, tmp_path, chunked):
                                store.predict([1], [3], [1]), atol=1e-6)
     with pytest.raises(ValueError, match="re-export"):
         aot.save_bundle(d)
+
+
+def test_mixed_family_ab_daemon(setup):
+    """One daemon serving BOTH store kinds (A/B across model families):
+    the default model is an HPMN memory store, the canary a BST history
+    store — requests route by the client's model= field, each family's
+    semantics intact."""
+    from hpmn_tpu.serving import ServingClient, ServingServer
+
+    cfg_b, params_b = setup
+    hist = HistoryStore(cfg_b, params_b, window=W)
+    cfg_h = _cfg("hpmn")
+    params_h = init_model(jax.random.key(3), cfg_h, N_ITEMS, N_CATS)
+    mem = UserMemoryStore(cfg_h, params_h)
+    with ServingServer({"default": mem, "bst": hist}, port=0) as srv:
+        cli = ServingClient("127.0.0.1", srv.port)
+        cli.update([1, 2], [10, 11], [2, 3])               # -> memory store
+        cli.update([1, 2], [10, 11], [2, 3], model="bst")  # -> history
+        s_mem = cli.predict([1, 2], [5, 6], [1, 2])
+        s_bst = cli.predict([1, 2], [5, 6], [1, 2], model="bst")
+        assert np.isfinite(s_mem).all() and np.isfinite(s_bst).all()
+        assert not np.allclose(np.asarray(s_mem), np.asarray(s_bst))
+        # each daemon-side store saw exactly its own updates
+        assert mem.n_users == 2 and hist.n_users == 2
+        np.testing.assert_allclose(
+            np.asarray(cli.predict([1], [5], [1], model="bst"))[0],
+            hist.predict([1], [5], [1])[0], atol=1e-5)
+        cli.close()
