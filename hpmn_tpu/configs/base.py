@@ -178,7 +178,9 @@ def _amazon(c):
     c.model.hpmn_layers = 4  # T=100: periods 1,4,16,64
     c.model.hpmn_period = 4
     c.loss.l2_weight = 1e-4
-    c.eval_steps_per_dispatch = 8  # measured eval knee (BASELINE.md, r4)
+    # Measured eval ladder at T=100 (BASELINE.md, r4): 7.1k -> 24.1k (k=8)
+    # -> 28.1k ex/s (k=16) — short steps are dispatch-bound, same as train.
+    c.eval_steps_per_dispatch = 16
     return c
 
 
