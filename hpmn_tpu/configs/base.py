@@ -124,6 +124,14 @@ def base_config() -> ml_collections.ConfigDict:
     # measurements for tools/explicit override).
     c.train.steps_per_dispatch = 1
 
+    # Wire-compact host->device batches (uint16 ids / uint8 mask, expanded
+    # on device inside the step — schema.compact_batch): halves the bytes
+    # shipped per step, exact whenever the vocab fits uint16 (auto-gated;
+    # ids are exact, masks are 0/1). Matters on relayed links (measured:
+    # the in-loop bound on this machine, BASELINE.md) and for per-chip
+    # feed bandwidth when one host drives several chips.
+    c.train.compact_transfer = True
+
     c.mesh = ml_collections.ConfigDict()
     c.mesh.enable = True  # False: force single-device execution
     c.mesh.data_axis = "data"

@@ -87,6 +87,45 @@ def batch_from_numpy(arrays: dict, indices: Optional[np.ndarray] = None) -> Batc
     )
 
 
+_ID_FIELDS = ("item_seq", "cat_seq", "target_item", "target_cat",
+              "neg_item_seq", "neg_cat_seq")
+
+
+def can_compact(n_items: int, n_cats: int) -> bool:
+    """Wire compaction is exact iff every id fits uint16."""
+    return max(n_items, n_cats) < (1 << 16)
+
+
+def compact_batch(batch: Batch) -> Batch:
+    """Wire-compact a HOST batch: id fields -> uint16, seq_mask -> uint8
+    (uid/label untouched — uids may exceed 2^16). Halves the bytes shipped
+    host->device per step, the measured in-loop bound on relayed links and
+    the per-chip feed bandwidth when one host drives many chips
+    (BASELINE.md). Exact by the ``can_compact`` gate (ids < vocab < 2^16;
+    masks are 0/1); ``expand_batch`` restores the schema dtypes inside the
+    jitted step, so every consumer past ``apply_model`` sees the standard
+    contract. No-op on already-compact batches."""
+    if np.asarray(batch.item_seq).dtype == np.uint16:
+        return batch
+    kw = {f: np.asarray(getattr(batch, f)).astype(np.uint16)
+          for f in _ID_FIELDS}
+    kw["seq_mask"] = np.asarray(batch.seq_mask).astype(np.uint8)
+    return dataclasses.replace(batch, **kw)
+
+
+def expand_batch(batch: Batch) -> Batch:
+    """Inverse of :func:`compact_batch`, jit-safe: cast compact fields back
+    to the schema dtypes (int32 ids, float32 mask). No-op when the batch is
+    already in schema dtypes — every model path calls this
+    unconditionally."""
+    if batch.item_seq.dtype != jnp.uint16 \
+            and batch.seq_mask.dtype == jnp.float32:
+        return batch
+    kw = {f: getattr(batch, f).astype(jnp.int32) for f in _ID_FIELDS}
+    kw["seq_mask"] = batch.seq_mask.astype(jnp.float32)
+    return dataclasses.replace(batch, **kw)
+
+
 def dummy_batch(batch_size: int, seq_len: int, n_items: int = 1000,
                 n_cats: int = 50, seed: int = 0) -> Batch:
     """Small random batch for tests / compile checks / dry runs."""

@@ -115,8 +115,13 @@ def apply_model(params: Dict, cfg, batch: Batch,
                 ) -> Tuple[jax.Array, Dict]:
     """-> (logits [B], aux dict: may contain "memory" (HPMN slots for the
     covariance regularizer) and "aux_loss" (DIEN))."""
+    from ..data.schema import expand_batch
     from ..utils import validate_batch
 
+    # Wire-compact batches (uint16 ids / uint8 mask — train.compact_transfer,
+    # schema.compact_batch) expand to the schema dtypes here, on device, so
+    # every consumer below sees the standard contract. No-op otherwise.
+    batch = expand_batch(batch)
     validate_batch(batch)  # trace-time shape/dtype contract (SURVEY.md §5.2)
     if lookup_fn is None:
         lookup_fn = dense_lookup

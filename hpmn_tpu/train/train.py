@@ -247,11 +247,17 @@ def probe_steps_per_dispatch(cfg, build_train, params, opt_state, spec,
     """
     import jax.numpy as jnp
 
-    from ..data.schema import dummy_batch, to_device_arrays
+    from ..data.schema import (can_compact, compact_batch, dummy_batch,
+                               to_device_arrays)
 
     B, T = cfg.train.batch_size, spec.seq_len
-    pool = [to_device_arrays(dummy_batch(B, T, spec.n_items, spec.n_cats,
-                                         seed=7000 + i))
+    # Probe in the same wire regime the loop will use: compact batches
+    # change the transfer bytes the knee amortizes.
+    cb = (compact_batch
+          if bool(getattr(cfg.train, "compact_transfer", False))
+          and can_compact(spec.n_items, spec.n_cats) else (lambda b: b))
+    pool = [to_device_arrays(cb(dummy_batch(B, T, spec.n_items, spec.n_cats,
+                                            seed=7000 + i)))
             for i in range(n_stacks + 1)]
     cap = max(1, min(64, cfg.train.eval_every, cfg.train.max_steps))
 
@@ -353,6 +359,12 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     # per-batch).
     ke = max(1, int(getattr(cfg, "eval_steps_per_dispatch", 1)))
     fused_eval = None
+    # Wire-compact every host->device batch when the vocab allows (exact;
+    # schema.compact_batch — expanded on device inside apply_model).
+    from ..data.schema import can_compact, compact_batch
+    compact_on = bool(getattr(cfg.train, "compact_transfer", False)) \
+        and can_compact(spec.n_items, spec.n_cats)
+    cb = compact_batch if compact_on else (lambda b: b)
     use_mesh = (cfg.mesh.model_parallel > 1 or len(jax.devices()) > 1) \
         and cfg.mesh.enable and lookup_fn is None
     if use_mesh and cfg.mesh.seq_parallel > 1 and \
@@ -380,14 +392,14 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             return make_shardmap_steps(cfg, tx, mesh)[0](params, opt_state)
 
         _eval_step = jit_eval(params)
-        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b,
+        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, cb(b),
                                                            over=over))
         if ke > 1 and jax.process_count() == 1:
             _fe = jit_eval.fused(params)
             fused_eval = lambda p, bs: _fe(
-                p, shard_batch(mesh, bs, stacked=True, over=over))
+                p, shard_batch(mesh, cb(bs), stacked=True, over=over))
         place = lambda b: shard_batch(
-            mesh, b, stacked=cfg.train.steps_per_dispatch > 1, over=over)
+            mesh, cb(b), stacked=cfg.train.steps_per_dispatch > 1, over=over)
         log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
             f"embedding_mode={cfg.mesh.embedding_mode}, "
             f"batch_over_model={bom}, "
@@ -414,13 +426,13 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             return make_sp_steps(cfg, tx, mesh)[0](params, opt_state)
 
         _eval_step = jit_eval(params)
-        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b))
+        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, cb(b)))
         if ke > 1 and jax.process_count() == 1:
             _fe = jit_eval.fused(params)
-            fused_eval = lambda p, bs: _fe(p, shard_batch(mesh, bs,
+            fused_eval = lambda p, bs: _fe(p, shard_batch(mesh, cb(bs),
                                                           stacked=True))
         place = lambda b: shard_batch(
-            mesh, b, stacked=cfg.train.steps_per_dispatch > 1)
+            mesh, cb(b), stacked=cfg.train.steps_per_dispatch > 1)
         log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
             f"seq_parallel={cfg.mesh.seq_parallel} "
             f"(microbatches={cfg.mesh.sp_microbatches})")
@@ -458,14 +470,14 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                               gru_seq_fn=gru_seq_fn)[0](params, opt_state)
 
         _eval_step = jit_eval(params)
-        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, b,
+        eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, cb(b),
                                                            over=over))
         if ke > 1 and jax.process_count() == 1:
             _fe = jit_eval.fused(params)
             fused_eval = lambda p, bs: _fe(
-                p, shard_batch(mesh, bs, stacked=True, over=over))
+                p, shard_batch(mesh, cb(bs), stacked=True, over=over))
         place = lambda b: shard_batch(
-            mesh, b, stacked=cfg.train.steps_per_dispatch > 1, over=over)
+            mesh, cb(b), stacked=cfg.train.steps_per_dispatch > 1, over=over)
         log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
             f"embedding_mode={cfg.mesh.embedding_mode}, "
             f"batch_over_model={bom}")
@@ -480,17 +492,40 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 return make_multistep_train(cfg, tx, lookup_fn, gru_seq_fn)
             return make_train_step(cfg, tx, lookup_fn, gru_seq_fn)
 
-        eval_step = make_eval_step(cfg, lookup_fn, gru_seq_fn)
+        _es0 = make_eval_step(cfg, lookup_fn, gru_seq_fn)
+        eval_step = lambda p, b: _es0(p, cb(b))
         if ke > 1:
-            fused_eval = make_fused_eval(cfg, lookup_fn, gru_seq_fn)
-        place = lambda b: jax.tree.map(jax.device_put, b)
+            _fe0 = make_fused_eval(cfg, lookup_fn, gru_seq_fn)
+            fused_eval = lambda p, bs: _fe0(p, cb(bs))
+        place = lambda b: jax.tree.map(jax.device_put, cb(b))
 
     # steps_per_dispatch == 0 ("auto"): probe the dispatch-chaining knee
     # for the attached link, then build the step at the chosen k. Explicit
-    # values skip the probe entirely (the override path).
+    # values skip the probe entirely (the override path). With a ckpt_dir,
+    # the choice persists in a sidecar so a PREEMPTED/RESUMED run reuses
+    # the original k instead of re-probing — re-probing costs minutes of
+    # compiles and a timing-dependent k would change the step grouping
+    # (eval cadence, log boundaries) of the replayed trajectory.
     if cfg.train.steps_per_dispatch == 0:
-        cfg.train.steps_per_dispatch = probe_steps_per_dispatch(
-            cfg, build_train, params, opt_state, spec, log)
+        import json
+        import os as _os
+
+        side = (_os.path.join(cfg.train.ckpt_dir, "autotune.json")
+                if cfg.train.ckpt_dir else "")
+        if side and _os.path.exists(side):
+            with open(side) as f:
+                cfg.train.steps_per_dispatch = int(
+                    json.load(f)["steps_per_dispatch"])
+            log(f"reusing autotuned steps_per_dispatch="
+                f"{cfg.train.steps_per_dispatch} from {side}")
+        else:
+            cfg.train.steps_per_dispatch = probe_steps_per_dispatch(
+                cfg, build_train, params, opt_state, spec, log)
+            if side and jax.process_index() == 0:
+                _os.makedirs(cfg.train.ckpt_dir, exist_ok=True)
+                with open(side, "w") as f:
+                    json.dump({"steps_per_dispatch":
+                               cfg.train.steps_per_dispatch}, f)
     train_step = build_train(cfg.train.steps_per_dispatch)
 
     mngr = None
@@ -565,10 +600,15 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 profiling, profiled = False, True
                 log("profile trace written to /tmp/hpmn_trace")
             if step % cfg.train.log_every < k:  # crossed a log boundary
-                jax.block_until_ready(metrics["loss"])
+                # Sync via the scalar pull BEFORE reading the clock:
+                # block_until_ready returns at dispatch over relayed links
+                # (CLAUDE.md), so timing it yields dispatch-rate-inflated
+                # ex/s with the execution backlog leaking into the NEXT
+                # window (r4: windows read 2.4-4.7k while wall said ~0.5k).
+                loss_v = float(metrics["loss"])
                 dt = time.time() - t_last
                 eps = n_since * cfg.train.batch_size / dt
-                log(f"step {step} loss {float(metrics['loss']):.4f} "
+                log(f"step {step} loss {loss_v:.4f} "
                     f"bce {float(metrics['bce']):.4f} ex/s {eps:.1f}")
                 if writer is not None:
                     # NB: do not shadow `k` (the steps-per-dispatch stride)

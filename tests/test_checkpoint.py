@@ -222,6 +222,12 @@ def test_sigkill_mid_run_resumes_to_identical_result(tmp_path):
         return [_sys.executable, "-u", "-m", "hpmn_tpu.train.train",
                 "--config", "amazon_hpmn", "--set",
                 "n_examples=2000", "train.batch_size=64",
+                # pinned k: this test compares two INDEPENDENT runs, and
+                # the shipped auto-probe (k=0) may resolve different
+                # timing-derived knees for them, changing step grouping
+                # (within ONE run, resume reuses the probed k via the
+                # ckpt-dir sidecar — tested separately)
+                "train.steps_per_dispatch=1",
                 "train.max_steps=60", "train.eval_every=20",
                 "train.log_every=1000000", "mesh.enable=False",
                 f"train.ckpt_dir={ckpt}",

@@ -202,3 +202,32 @@ def test_realistic_vocab_end_to_end(tmp_path):
     res = train(cfg, log=lambda s: None)
     assert res["params"]["embedding"]["item"].shape[0] == V
     assert 0.0 < res["test"]["log_loss"] < 5.0
+
+
+def test_compact_expand_round_trip():
+    """schema.compact_batch / expand_batch: uint16 ids + uint8 mask on the
+    wire, bit-exact round trip back to the schema dtypes; expand is a
+    no-op on already-expanded batches; uid/label never change."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from hpmn_tpu.data.schema import (Batch, can_compact, compact_batch,
+                                      dummy_batch, expand_batch)
+
+    assert can_compact(65535, 100) and not can_compact(65536, 100)
+    b = dummy_batch(4, 8, 300, 20, seed=0)
+    cb = compact_batch(b)
+    assert cb.item_seq.dtype == np.uint16
+    assert cb.seq_mask.dtype == np.uint8
+    assert cb.uid.dtype == np.int32 and cb.label.dtype == np.float32
+    assert compact_batch(cb) is cb  # idempotent
+    eb = expand_batch(jax.tree.map(jnp.asarray, cb))
+    for f in dataclasses.fields(Batch):
+        want = np.asarray(getattr(b, f.name))
+        got = np.asarray(getattr(eb, f.name))
+        assert got.dtype == want.dtype, f.name
+        np.testing.assert_array_equal(got, want, err_msg=f.name)
+    plain = jax.tree.map(jnp.asarray, b)
+    assert expand_batch(plain) is plain  # no-op on schema dtypes

@@ -401,3 +401,46 @@ def test_autotune_steps_per_dispatch():
         assert any("autotuned steps_per_dispatch=" in s for s in logs), logs
         assert 1 <= cfg.train.steps_per_dispatch <= 12
         assert np.isfinite(res["test"]["log_loss"])
+
+
+@pytest.mark.slow
+def test_compact_transfer_is_exact():
+    """train.compact_transfer (uint16-id/uint8-mask wire format, expanded
+    on device) must be EXACT: identical metrics history, test metrics, and
+    final params vs uncompacted transfers."""
+    import jax
+
+    res = {}
+    for on in (False, True):
+        cfg = _small_cfg(**{"train.max_steps": 40, "train.eval_every": 20})
+        cfg.train.compact_transfer = on
+        res[on] = train(cfg, log=lambda s: None)
+    assert res[False]["history"] == res[True]["history"]
+    assert res[False]["test"] == res[True]["test"]
+    for a, b in zip(jax.tree.leaves(res[False]["params"]),
+                    jax.tree.leaves(res[True]["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.slow
+def test_autotune_sidecar_reuse(tmp_path):
+    """With a ckpt_dir, the probed steps_per_dispatch persists in a
+    sidecar: a resumed/relaunched run reuses it instead of re-probing
+    (deterministic replay of the step grouping across preemption)."""
+    logs = []
+    cfg = _small_cfg(**{"train.max_steps": 24, "train.eval_every": 12,
+                        "train.ckpt_dir": str(tmp_path / "ck")})
+    cfg.train.steps_per_dispatch = 0
+    train(cfg, log=logs.append)
+    assert any("autotuned steps_per_dispatch=" in s for s in logs), logs
+    chosen = cfg.train.steps_per_dispatch
+
+    logs2 = []
+    cfg2 = _small_cfg(**{"train.max_steps": 24, "train.eval_every": 12,
+                         "train.ckpt_dir": str(tmp_path / "ck")})
+    cfg2.train.steps_per_dispatch = 0
+    train(cfg2, log=logs2.append)
+    assert any("reusing autotuned steps_per_dispatch=" in s
+               for s in logs2), logs2
+    assert not any("ms/step:" in s for s in logs2)  # no re-probe
+    assert cfg2.train.steps_per_dispatch == chosen
