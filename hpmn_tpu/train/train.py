@@ -332,6 +332,31 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
 
     train_arrays, val_arrays, test_arrays, spec = make_datasets(cfg)
     pidx, pcnt = jax.process_index(), jax.process_count()
+    # Pre-compact the in-RAM dataset arrays ONCE when the wire format is
+    # on (train.compact_transfer + vocab fits uint16): every batch gather
+    # then copies half the bytes (the native batcher is byte-based) and
+    # the per-batch compact_batch becomes an idempotent no-op. Memory-
+    # mapped real-data arrays stay as-is (materializing them would defeat
+    # the mmap); those compact per batch instead.
+    from ..data.schema import _ID_FIELDS as _IDF, can_compact as _cc
+
+    if bool(getattr(cfg.train, "compact_transfer", False)) \
+            and _cc(spec.n_items, spec.n_cats):
+        import numpy as _np
+
+        for _split in (train_arrays, val_arrays, test_arrays):
+            for _f in _IDF:
+                _a = _split.get(_f)
+                if (isinstance(_a, _np.ndarray)
+                        and not isinstance(_a, _np.memmap)
+                        and _a.dtype == _np.int32):
+                    _split[_f] = _a.astype(_np.uint16)
+            _m = _split.get("seq_mask")
+            if (isinstance(_m, _np.ndarray)
+                    and not isinstance(_m, _np.memmap)
+                    and _m.dtype == _np.float32):
+                _split["seq_mask"] = _m.astype(_np.uint8)
+
     train_loader = DataLoader(train_arrays, cfg.train.batch_size, shuffle=True,
                               seed=cfg.seed, process_index=pidx,
                               process_count=pcnt)
