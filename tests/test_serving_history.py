@@ -293,3 +293,50 @@ def test_mixed_family_ab_daemon(setup):
             np.asarray(cli.predict([1], [5], [1], model="bst"))[0],
             hist.predict([1], [5], [1])[0], atol=1e-5)
         cli.close()
+
+
+@pytest.mark.slow
+def test_daemon_aot_history_bundle(setup, tmp_path):
+    """hpmn-serve --aot on a history bundle: the daemon's loader
+    dispatches to AotHistoryStore and serves predict/update with zero
+    model-code tracing, as a real OS process."""
+    import os
+    import signal
+    import subprocess
+    import sys
+
+    from hpmn_tpu.serving.client import ServingClient
+
+    cfg, params = setup
+    store = HistoryStore(cfg, params, window=W)
+    store.update([1, 2], [10, 11], [2, 3])
+    d = str(tmp_path / "aotb")
+    os.makedirs(d)
+    store.save_bundle(d, export_compiled=True, export_platforms=("cpu",))
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo}
+    proc = subprocess.Popen(
+        [sys.executable, "tools/serve.py", "--bundle", d, "--port", "0",
+         "--aot", "--force_cpu"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        cwd=repo, env=env)
+    try:
+        line = proc.stdout.readline()
+        assert "serving bundle" in line, (line, proc.stderr.read())
+        host, port = line.split(" on ")[1].split()[0].rsplit(":", 1)
+        with ServingClient(host, int(port), timeout_s=120) as cl:
+            s1 = cl.predict([1, 2], [5, 6], [1, 2])
+            np.testing.assert_allclose(np.asarray(s1),
+                                       store.predict([1, 2], [5, 6], [1, 2]),
+                                       atol=1e-6)
+            cl.update([1], [7], [2])
+            store.update([1], [7], [2])
+            np.testing.assert_allclose(
+                np.asarray(cl.predict([1], [5], [1])),
+                store.predict([1], [5], [1]), atol=1e-6)
+        proc.send_signal(signal.SIGTERM)
+        proc.wait(timeout=60)
+    finally:
+        if proc.poll() is None:
+            proc.kill()
