@@ -143,8 +143,14 @@ def base_config() -> ml_collections.ConfigDict:
     # tower on its OWN batch slice and the bucketed a2a lookup exchanges
     # only owned rows — per-shard embedding wire falls from ~N*d to
     # ~2*f*N*d/S (ARCHITECTURE §5) and the dense compute parallelizes over
-    # S more devices. Requires embedding_mode="a2a" when model_parallel>1.
-    c.mesh.batch_over_model = False
+    # S more devices. Default TRUE (r5): it is the only regime where the
+    # exchange beats psum's wire (measured 0.52x = f/S embedding wire,
+    # tools/bench_a2a_wire.py — the win GROWS with the shard count), so a
+    # model_parallel>1 run gets it unless embedding_mode is explicitly
+    # "psum" (which the driver honors by disabling this; psum and the
+    # replicated-ids a2a are the legacy/fallback layouts). Takes effect
+    # only when model_parallel > 1.
+    c.mesh.batch_over_model = True
     # Static per-owner bucket capacity = ceil(ceil(N/S)*f) for the bucketed
     # a2a exchange. Any per-owner overflow (e.g. frequency-sorted vocabs
     # skewing load onto the shard owning the hot rows) falls back to an

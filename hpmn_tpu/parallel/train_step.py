@@ -46,7 +46,9 @@ def make_sharded_steps(cfg, tx, mesh: Mesh,
     ARCHITECTURE §4)."""
     mode = cfg.mesh.embedding_mode
     lookup_fn = (None if mode == "replicated"
-                 else make_sharded_lookup(mesh, mode))
+                 else make_sharded_lookup(
+                     mesh, mode,
+                     float(getattr(cfg.mesh, "a2a_capacity_factor", 2.0))))
     k = cfg.train.steps_per_dispatch
     p_shard = lambda p: param_shardings(mesh, p)
     b_shard = batch_sharding(mesh, stacked=k > 1)
@@ -149,12 +151,13 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
     # pmean (table_axes, unchanged) completes the global mean. Direct-param
     # table gradients (l2) are NOT routed through the lookup and stay
     # unscaled — exactly once per shard, averaged over table_axes.
-    bom = bool(getattr(cfg.mesh, "batch_over_model", False)) and n_model > 1
-    if bom and cfg.mesh.embedding_mode != "a2a":
-        raise ValueError(
-            "mesh.batch_over_model shards the batch over the model axis, so "
-            "ids are shard-local — only the bucketed exchange supports that; "
-            "set mesh.embedding_mode='a2a' (psum needs model-replicated ids)")
+    # batch_over_model ships True (the measured-best TP layout, r5) but is
+    # only meaningful with the bucketed exchange: psum needs model-
+    # replicated ids, so an explicit embedding_mode="psum" selects the
+    # replicated-batch layout and bom is ignored (the embedding mode is the
+    # authoritative layout selector; same rule as the train driver).
+    bom = (bool(getattr(cfg.mesh, "batch_over_model", False))
+           and n_model > 1 and cfg.mesh.embedding_mode == "a2a")
     batch_axes = (DATA_AXIS, MODEL_AXIS) if bom else (DATA_AXIS,)
     if n_seq > 1:
         if cfg.model.use_pallas:

@@ -229,26 +229,38 @@ def make_eval_step(cfg, lookup_fn=None, gru_seq_fn=None) -> Callable:
 def probe_steps_per_dispatch(cfg, build_train, params, opt_state, spec,
                              log: Callable[[str], None] = print,
                              tol: float = 0.03, repeats: int = 2,
-                             n_stacks: int = 3) -> int:
+                             n_stacks: int = 3, place=None,
+                             flat_stop: int = 2) -> int:
     """Derive the dispatch-chaining knee for THE ATTACHED LINK at startup
     (``train.steps_per_dispatch = 0``). The shipped r3 knees encoded this
     tunnel's 3-5 ms/dispatch latency; a production-attached chip pays ~10x
     less and the knee moves (BASELINE.md) — so when the config ships
-    "auto", time the full geometric ladder k = 1, 2, 4, ... (capped by 64,
+    "auto", time the geometric ladder k = 1, 2, 4, ... (capped by 64,
     eval_every and max_steps — dispatch granularity bounds eval/ckpt
     cadence) and pick the SMALLEST k within ``tol`` of the best per-step
-    time. Each rung times repeats x n_stacks fused dispatches on distinct
-    synthetic stacks (the relay dedups identical dispatches) ending in a
-    scalar pull (block_until_ready lies over the tunnel); params/opt flow
-    through copies so donation cannot consume the caller's buffers, and
-    every measurement is discarded. Multi-host: the choice is made on
-    process 0 and broadcast, so all hosts build identical programs.
-    Measured-knee reproduction on this tunnel is recorded in BASELINE.md.
+    time. The ladder stops early once ``flat_stop`` consecutive rungs fail
+    to improve the best time by more than ``tol`` — past the knee the curve
+    is flat and each extra rung costs a full train-step compile (20-40 s on
+    TPU; the probe's dominant cost, BASELINE.md autotune section). Each
+    rung times repeats x n_stacks fused dispatches on distinct synthetic
+    stacks (the relay dedups identical dispatches) ending in a scalar pull
+    (block_until_ready lies over the tunnel); params/opt flow through
+    copies so donation cannot consume the caller's buffers, and every
+    measurement is discarded. Multi-host: every host runs the identical
+    deterministic ladder; the choice is additionally broadcast from
+    process 0 so all hosts build identical programs.
+
+    ``place(batch, stacked) -> placed batch`` must be the SAME placement
+    the training loop uses (``shard_batch`` on mesh paths): the probe pool
+    is built as host numpy batches and placed per dispatch, because a
+    locally-committed device array cannot be fed to a multi-host jitted
+    step (every process must contribute its addressable shards). Default:
+    ``jax.device_put`` per leaf (the single-device path).
     """
     import jax.numpy as jnp
+    import numpy as np
 
-    from ..data.schema import (can_compact, compact_batch, dummy_batch,
-                               to_device_arrays)
+    from ..data.schema import can_compact, compact_batch, dummy_batch
 
     B, T = cfg.train.batch_size, spec.seq_len
     # Probe in the same wire regime the loop will use: compact batches
@@ -256,44 +268,72 @@ def probe_steps_per_dispatch(cfg, build_train, params, opt_state, spec,
     cb = (compact_batch
           if bool(getattr(cfg.train, "compact_transfer", False))
           and can_compact(spec.n_items, spec.n_cats) else (lambda b: b))
-    pool = [to_device_arrays(cb(dummy_batch(B, T, spec.n_items, spec.n_cats,
-                                            seed=7000 + i)))
+    # Host numpy pool (placed per dispatch — see docstring).
+    pool = [cb(dummy_batch(B, T, spec.n_items, spec.n_cats, seed=7000 + i))
             for i in range(n_stacks + 1)]
+    if place is None:
+        place = lambda b, stacked: jax.tree.map(jax.device_put, b)
     cap = max(1, min(64, cfg.train.eval_every, cfg.train.max_steps))
 
     def time_k(k):
         step = build_train(k)
+        # Pre-place every stack BEFORE the timed region: the training loop
+        # overlaps host->device transfers with compute (prefetch_to_device),
+        # but a probe-loop device_put is synchronous over relayed links —
+        # timing it would charge each dispatch k x the wire bytes and
+        # invert the ladder (k=1 "wins" on any transfer-bound link).
         if k > 1:
-            make = lambda i: jax.tree.map(
-                lambda *xs: jnp.stack(xs),
+            mk = lambda i: jax.tree.map(
+                lambda *xs: np.stack([np.asarray(x) for x in xs]),
                 *[pool[(i + j) % len(pool)] for j in range(k)])
+            stacks = [place(mk(i), True) for i in range(n_stacks + 1)]
         else:
-            make = lambda i: pool[i % len(pool)]
+            stacks = [place(pool[i], False) for i in range(n_stacks + 1)]
         p, o = jax.tree.map(jnp.copy, (params, opt_state))
-        p, o, m = step(p, o, make(0))  # compile + warm
+        p, o, m = step(p, o, stacks[0])  # compile + warm
         float(m["loss"])
         t0 = time.time()
         for r in range(repeats):
             for i in range(n_stacks):
-                p, o, m = step(p, o, make(1 + i))
+                p, o, m = step(p, o, stacks[1 + i])
         float(m["loss"])
         return (time.time() - t0) / (repeats * n_stacks * k)
 
-    ladder, k = {}, 1
-    while k <= cap:
-        ladder[k] = time_k(k)
-        k *= 2
+    # build_train(k) mutates cfg.train.steps_per_dispatch as a side effect;
+    # restore it even when a rung raises mid-ladder, so the caller never
+    # sees a half-probed config (ADVICE r4).
+    saved_k = cfg.train.steps_per_dispatch
+    ladder, k, flat = {}, 1, 0
+    try:
+        while k <= cap:
+            t = ladder[k] = time_k(k)
+            prior = [ladder[kk] for kk in ladder if kk < k]
+            if prior and t > min(prior) * (1 - tol):
+                # this rung did not beat the prior best by > tol
+                flat += 1
+                if flat >= flat_stop:
+                    break
+            else:
+                flat = 0
+            k *= 2
+    finally:
+        cfg.train.steps_per_dispatch = saved_k
     best_t = min(ladder.values())
     choice = min(kk for kk, t in ladder.items() if t <= best_t * (1 + tol))
     if jax.process_count() > 1:
-        import numpy as np
         from jax.experimental import multihost_utils
 
         choice = int(multihost_utils.broadcast_one_to_all(
             np.asarray(choice, np.int32)))
+    capped = (flat < flat_stop and max(ladder) < 64
+              and max(ladder) * 2 > cap)
     log("autotuned steps_per_dispatch=" + str(choice) + " (ms/step: "
         + ", ".join(f"k={kk}:{t * 1e3:.2f}" for kk, t in ladder.items())
-        + f"; cap {cap})")
+        + f"; cap {cap}"
+        + ("; ladder CUT BY eval_every/max_steps, not timing" if capped
+           and choice == max(ladder) else "")
+        + (f"; stopped flat after k={max(ladder)}" if flat >= flat_stop
+           else "") + ")")
     return choice
 
 
@@ -401,7 +441,11 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                                 shard_batch)
 
         mesh = make_mesh(cfg.mesh.model_parallel, cfg.mesh.seq_parallel)
-        bom = bool(getattr(cfg.mesh, "batch_over_model", False))
+        # batch_over_model ships True (the measured-best TP layout) but an
+        # EXPLICIT embedding_mode="psum" wins: psum needs model-replicated
+        # ids, so the user's choice of exchange implies the layout.
+        bom = bool(getattr(cfg.mesh, "batch_over_model", False)) \
+            and cfg.mesh.embedding_mode in ("replicated", "a2a")
         if cfg.mesh.embedding_mode == "replicated":
             cfg.mesh.embedding_mode = "a2a" if bom else "psum"
         over = ("data", "model") if bom else ("data",)
@@ -425,6 +469,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 p, shard_batch(mesh, cb(bs), stacked=True, over=over))
         place = lambda b: shard_batch(
             mesh, cb(b), stacked=cfg.train.steps_per_dispatch > 1, over=over)
+        probe_place = lambda b, stacked: shard_batch(mesh, b, stacked=stacked,
+                                                     over=over)
         log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
             f"embedding_mode={cfg.mesh.embedding_mode}, "
             f"batch_over_model={bom}, "
@@ -458,6 +504,7 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                                                           stacked=True))
         place = lambda b: shard_batch(
             mesh, cb(b), stacked=cfg.train.steps_per_dispatch > 1)
+        probe_place = lambda b, stacked: shard_batch(mesh, b, stacked=stacked)
         log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
             f"seq_parallel={cfg.mesh.seq_parallel} "
             f"(microbatches={cfg.mesh.sp_microbatches})")
@@ -469,8 +516,11 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                                 param_shardings, shard_batch)
 
         mesh = make_mesh(cfg.mesh.model_parallel)
+        # Same rule as the DPxSPxTP branch: bom ships True but an explicit
+        # "psum" exchange disables it (psum needs model-replicated ids).
         bom = bool(getattr(cfg.mesh, "batch_over_model", False)) and \
-            cfg.mesh.model_parallel > 1
+            cfg.mesh.model_parallel > 1 and \
+            cfg.mesh.embedding_mode in ("replicated", "a2a")
         if cfg.mesh.model_parallel > 1 and \
                 cfg.mesh.embedding_mode == "replicated":
             cfg.mesh.embedding_mode = "a2a" if bom else "psum"
@@ -503,6 +553,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 p, shard_batch(mesh, cb(bs), stacked=True, over=over))
         place = lambda b: shard_batch(
             mesh, cb(b), stacked=cfg.train.steps_per_dispatch > 1, over=over)
+        probe_place = lambda b, stacked: shard_batch(mesh, b, stacked=stacked,
+                                                     over=over)
         log(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, "
             f"embedding_mode={cfg.mesh.embedding_mode}, "
             f"batch_over_model={bom}")
@@ -523,6 +575,7 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             _fe0 = make_fused_eval(cfg, lookup_fn, gru_seq_fn)
             fused_eval = lambda p, bs: _fe0(p, cb(bs))
         place = lambda b: jax.tree.map(jax.device_put, cb(b))
+        probe_place = None
 
     # steps_per_dispatch == 0 ("auto"): probe the dispatch-chaining knee
     # for the attached link, then build the step at the chosen k. Explicit
@@ -545,7 +598,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 f"{cfg.train.steps_per_dispatch} from {side}")
         else:
             cfg.train.steps_per_dispatch = probe_steps_per_dispatch(
-                cfg, build_train, params, opt_state, spec, log)
+                cfg, build_train, params, opt_state, spec, log,
+                place=probe_place)
             if side and jax.process_index() == 0:
                 _os.makedirs(cfg.train.ckpt_dir, exist_ok=True)
                 with open(side, "w") as f:

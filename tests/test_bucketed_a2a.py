@@ -211,13 +211,29 @@ def test_batch_over_model_step_matches_single_device(model_name):
                                 np.asarray(logits_ref), atol=1e-4)
 
 
-def test_batch_over_model_requires_a2a():
+def test_explicit_psum_overrides_batch_over_model():
+    """batch_over_model ships True (r5) but the embedding mode is the
+    authoritative layout selector: psum needs model-replicated ids, so an
+    explicit embedding_mode="psum" runs the replicated-batch layout — the
+    step accepts a batch sharded over ("data",) only, and matches the
+    single-device step."""
     mesh = make_mesh(model_parallel=2, devices=jax.devices()[:4])
     cfg = get_config("amazon_hpmn")
+    cfg.model.hpmn_layers = 2
+    cfg.train.steps_per_dispatch = 1
     cfg.mesh.embedding_mode = "psum"
-    cfg.mesh.batch_over_model = True
-    with pytest.raises(ValueError, match="batch_over_model"):
-        make_shardmap_steps(cfg, optax.sgd(1e-2), mesh)
+    assert cfg.mesh.batch_over_model  # the shipped default
+    tx = optax.sgd(1e-2)
+    batch = to_device_arrays(dummy_batch(8, 12, N_ITEMS, N_CATS, seed=3))
+    p_ref = _single_device_reference(cfg, batch, tx)
+    params = init_sharded_model(jax.random.key(0), cfg, N_ITEMS, N_CATS,
+                                mesh)
+    opt0 = jax.device_put(tx.init(params),
+                          param_shardings(mesh, tx.init(params)))
+    step = make_shardmap_steps(cfg, tx, mesh)[0](params, opt0)
+    p2, _, m = step(params, opt0, shard_batch(mesh, batch))  # data-only
+    chex.assert_trees_all_close(jax.device_get(p2), jax.device_get(p_ref),
+                                atol=2e-5)
 
 
 @pytest.mark.heavy

@@ -162,6 +162,19 @@ else:
         (res_s['test']['gauc'], res['test']['gauc'])
 print(f"proc {pid} streameval_auc {res_s['test']['auc']:.10f}")
 print(f"proc {pid} streameval_gauc {res_s['test']['gauc']:.10f}")
+
+# Multi-host autotune probe (ADVICE r4 medium): steps_per_dispatch=0 must
+# build its ladder pool as HOST batches placed through the same
+# shard_batch path the loop uses — a locally-committed device array fed
+# to the multi-host jitted step crashes at startup — and every host must
+# resolve the same k.
+cfg.eval_streaming_bins = 0
+cfg.train.steps_per_dispatch = 0  # auto: run the startup ladder probe
+cfg.train.max_steps = 4
+cfg.train.eval_every = 4
+res_p = train(cfg, log=lambda s: None)
+assert cfg.train.steps_per_dispatch >= 1
+print(f"proc {pid} probe_k {cfg.train.steps_per_dispatch}")
 print(f"proc {pid} OK")
 """
 
@@ -229,6 +242,9 @@ def max_diff_vs_ref(mesh, p_sharded, p_ref):
 for mode in ("psum", "a2a"):
     mesh = make_mesh(model_parallel=2)
     cfg.mesh.embedding_mode = mode
+    # legacy replicated-batch layouts first (bom ships True since r5;
+    # the dedicated bom leg below exercises the shipped layout)
+    cfg.mesh.batch_over_model = False
     params = init_sharded_model(jax.random.key(0), cfg, n_items, n_cats,
                                 mesh)
     opt = jax.device_put(tx.init(params),
@@ -374,3 +390,7 @@ def test_two_process_mesh(tmp_path):
     # over the full (un-duplicated) test set.
     assert len(train_aucs) == 1, train_aucs
     assert ns == {"60"}, ns  # 10% of 600 examples, counted once
+    # Autotune probe leg: both hosts ran the ladder and chose the same k.
+    probe_ks = {ln.split()[-1] for o in outs for ln in o.splitlines()
+                if "probe_k" in ln}
+    assert len(probe_ks) == 1, probe_ks

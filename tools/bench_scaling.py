@@ -102,10 +102,12 @@ def main():
     ap.add_argument("--model_parallel", type=int, default=1,
                     help="model-axis size within each mesh size (TP legs)")
     ap.add_argument("--embedding_mode", default="",
-                    help="psum | a2a (default: psum when model_parallel>1)")
-    ap.add_argument("--batch_over_model", action="store_true",
+                    help="psum | a2a (default: a2a when model_parallel>1 — "
+                         "the shipped TP default; psum is the legacy leg)")
+    ap.add_argument("--batch_over_model", action="store_true", default=None,
                     help="shard the batch over (data, model): the bucketed "
-                         "a2a regime — requires --embedding_mode a2a")
+                         "a2a regime — requires a2a mode. Default: on when "
+                         "model_parallel>1 with a2a (the shipped layout)")
     ap.add_argument("--force_cpu", action="store_true",
                     help="run on virtual CPU devices (harness validation)")
     args = ap.parse_args()
@@ -137,14 +139,16 @@ def main():
     if args.embedding_mode:
         cfg.mesh.embedding_mode = args.embedding_mode
     elif args.model_parallel > 1 and cfg.mesh.embedding_mode == "replicated":
-        cfg.mesh.embedding_mode = "psum"
-    cfg.mesh.batch_over_model = args.batch_over_model
+        cfg.mesh.embedding_mode = "a2a"  # shipped TP default (r5)
+    cfg.mesh.batch_over_model = (
+        args.batch_over_model if args.batch_over_model is not None
+        else args.model_parallel > 1 and cfg.mesh.embedding_mode == "a2a")
     out = {"metric": "dp_weak_scaling", "platform": platform,
            "config": args.config, "per_device_batch": pdb,
            "seq_parallel": args.seq_parallel,
            "model_parallel": args.model_parallel,
            "embedding_mode": cfg.mesh.embedding_mode,
-           "batch_over_model": args.batch_over_model, "sizes": {}}
+           "batch_over_model": cfg.mesh.batch_over_model, "sizes": {}}
     base = None
     for d in sizes:
         if d > n_dev:
