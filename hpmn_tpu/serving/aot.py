@@ -169,7 +169,8 @@ class AotStore(UserMemoryStore):
 
 def load_aot_store(directory: str,
                    max_users: Optional[int] = None,
-                   arena_dtype: str = "float32"):
+                   arena_dtype: str = "float32",
+                   max_score_rows: int = 8192):
     """Restore a bundle saved with ``save_bundle(export_compiled=True)``
     into an :class:`AotStore` (HPMN memory bundles) or an
     :class:`history.AotHistoryStore` (history bundles — dispatched on the
@@ -199,7 +200,8 @@ def load_aot_store(directory: str,
         from .history import AotHistoryStore
 
         store = AotHistoryStore(cfg, leaves, exported["score"],
-                                window=meta.get("window"), max_users=mu)
+                                window=meta.get("window"), max_users=mu,
+                                max_score_rows=max_score_rows)
         store._restore(directory)
         return store
     store = AotStore(cfg, leaves, exported, max_users=mu,

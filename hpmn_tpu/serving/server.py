@@ -503,6 +503,10 @@ def main(argv=None) -> None:
                     help="memory-arena storage dtype; bfloat16 halves the "
                          "per-user bytes (compute stays f32)")
     ap.add_argument("--max_batch", type=int, default=256)
+    ap.add_argument("--max_score_rows", type=int, default=8192,
+                    help="history-store bound on one scoring dispatch "
+                         "(rank flattens B*C rows; larger requests are "
+                         "chunked server-side — peak activation ~ rows*W)")
     ap.add_argument("--max_wait_ms", type=float, default=2.0)
     ap.add_argument("--save_on_exit", action="store_true")
     ap.add_argument("--journal", default="",
@@ -548,13 +552,15 @@ def main(argv=None) -> None:
         if args.aot:
             from .aot import load_aot_store
 
-            return load_aot_store(path, arena_dtype=args.arena_dtype)
+            return load_aot_store(path, arena_dtype=args.arena_dtype,
+                                  max_score_rows=args.max_score_rows)
         # Dispatch on the bundle's store kind: "memory" (HPMN O(1) arena)
         # or "history" (BST & co — recent-window re-encode store).
         from .history import load_bundle
 
         return load_bundle(path, device_resident=args.device_resident,
-                           arena_dtype=args.arena_dtype)
+                           arena_dtype=args.arena_dtype,
+                           max_score_rows=args.max_score_rows)
 
     bundles = {"default": args.bundle}
     for spec in args.extra_bundle:
