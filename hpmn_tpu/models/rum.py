@@ -42,9 +42,12 @@ def _address(keys: jax.Array, q: jax.Array, beta: jax.Array) -> jax.Array:
     return jax.nn.softmax(beta * qn @ kn.T, axis=-1)
 
 
-def encode(params: Dict, x: jax.Array, mask: jax.Array, target: jax.Array,
-           ) -> jax.Array:
-    """x [B, T, in_dim], target [B, in_dim] -> read vector [B, mem_dim]."""
+def write_memory(params: Dict, x: jax.Array, mask: jax.Array) -> jax.Array:
+    """The target-INDEPENDENT half of RUM: scan the erase/add writes over
+    the behavior sequence -> memory [B, K, mem_dim]. Split out so lifelong
+    serving can persist the memory per user and update it per event
+    (serving/protocol.py — the write address comes from the event, not the
+    target, so RUM qualifies for [P §4.5]-style O(1) serving)."""
     B, T, _ = x.shape
     K, d = params["keys"].shape
     # Hoist all per-step projections out of the scan (one MXU matmul each).
@@ -66,5 +69,12 @@ def encode(params: Dict, x: jax.Array, mask: jax.Array, target: jax.Array,
     xs = (jnp.moveaxis(w_all, 1, 0), jnp.moveaxis(e_all, 1, 0),
           jnp.moveaxis(a_all, 1, 0), jnp.moveaxis(mask, 1, 0))
     M, _ = jax.lax.scan(step, M0, xs)
+    return M
+
+
+def encode(params: Dict, x: jax.Array, mask: jax.Array, target: jax.Array,
+           ) -> jax.Array:
+    """x [B, T, in_dim], target [B, in_dim] -> read vector [B, mem_dim]."""
+    M = write_memory(params, x, mask)
     r = _address(params["keys"], target @ params["qproj"], params["beta"])
     return jnp.einsum("bk,bkd->bd", r, M)

@@ -1,7 +1,8 @@
 from .lifelong import UserMemoryStore, incremental_update
+from .protocol import O1_FAMILIES
 
-__all__ = ["UserMemoryStore", "incremental_update", "HistoryStore",
-           "load_bundle", "ServingServer", "ServingClient",
+__all__ = ["UserMemoryStore", "incremental_update", "O1_FAMILIES",
+           "HistoryStore", "load_bundle", "ServingServer", "ServingClient",
            "ShardedServingClient", "AotStore", "load_aot_store",
            "export_serving"]
 

@@ -32,7 +32,6 @@ import numpy as np
 from jax import export as jax_export
 
 from ..models.embedding import dense_lookup
-from ..models.readout import attention_readout
 from ..models.tower import apply_tower
 from .lifelong import (UserMemoryStore, _predict_scores, flatten_with_keys,
                        incremental_update)
@@ -49,10 +48,13 @@ def export_serving(cfg, params: Dict,
     batch dim (and rank's candidate dim) symbolic, so one artifact serves
     any request size without retracing.
     """
+    from .protocol import n_state_slots, read_state
+
     _, leaves, treedef = flatten_with_keys(params)
     leaf_specs = [jax.ShapeDtypeStruct(a.shape, a.dtype) for a in leaves]
-    L, dm = cfg.model.hpmn_layers, cfg.model.mem_dim
-    period = cfg.model.hpmn_period
+    family = cfg.model.name
+    L, dm = n_state_slots(cfg), cfg.model.mem_dim
+    period = int(getattr(cfg.model, "hpmn_period", 1))
     use_user = bool(getattr(cfg.model, "use_user_emb", False))
 
     def unflat(leaves):
@@ -66,14 +68,16 @@ def export_serving(cfg, params: Dict,
     def update_fn(mem, cnt, items, cats, *leaves):
         p = unflat(leaves)
         x = dense_lookup(p["embedding"], items, cats)
-        return incremental_update(p["encoder"], mem, cnt, x, period)
+        return incremental_update(p["encoder"], mem, cnt, x, period,
+                                  family=family)
 
     def predict_fn(mem, uids, items, cats, *leaves):
         # delegates to the jit store's own scorer: the exported graph is
         # DEFINITIONALLY the same math, so they cannot drift at export time
         p = unflat(leaves)
         return _predict_scores(p, mem, items, cats,
-                               user_emb(p, uids) if use_user else None)
+                               user_emb(p, uids) if use_user else None,
+                               family=family)
 
     def rank_fn(mem, uids, items, cats, *leaves):
         p = unflat(leaves)
@@ -83,8 +87,7 @@ def export_serving(cfg, params: Dict,
         # broadcast_to instead of jnp.repeat: repeat counts must be concrete,
         # broadcast shapes may be symbolic.
         mem_exp = jnp.broadcast_to(mem[:, None], (b, c, L, dm))
-        read = attention_readout(p["readout"], mem_exp.reshape(b * c, L, dm),
-                                 q)
+        read = read_state(family, p, mem_exp.reshape(b * c, L, dm), q)
         parts = [q, read]
         if use_user:
             ue = user_emb(p, uids)

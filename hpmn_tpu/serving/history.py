@@ -1,12 +1,15 @@
-"""Lifelong serving for encoder families WITHOUT an O(1) memory recurrence
-(BST and any other ``apply_model`` family): a bounded per-user window of
-the most recent W behaviors, re-encoded batched on-device per request.
+"""Lifelong serving for encoder families WITHOUT a target-independent
+recurrence (BST, DIEN — any family outside ``serving.protocol
+.O1_FAMILIES``): a bounded per-user window of the most recent W
+behaviors, re-encoded batched on-device per request.
 
 Reference equivalent: [P §4.5] gives HPMN O(1) incremental updates because
-its state IS a recurrence; attention models like BST have no such
-recurrence — their serving-industry shape is exactly this store: retain a
-recent-history window per user, re-encode it (with the candidate as the
-attention target) at request time. Cost is O(W) device compute per
+its state IS a target-independent recurrence (as are gru4rec's hidden
+state and rum's memory — all served by ``UserMemoryStore``); attention
+models like BST score the candidate AGAINST the whole history, so no
+per-user state summarizes it — their serving-industry shape is exactly
+this store: retain a recent-history window per user, re-encode it (with
+the candidate as the attention target) at request time. Cost is O(W) device compute per
 prediction instead of O(1), amortized across the request batch on the MXU
 (the encode is the same batched graph training runs). VERDICT r3 missing
 #5 / next #5.

@@ -1,11 +1,14 @@
-"""Lifelong serving: per-user HPMN memory with O(1) incremental updates.
+"""Lifelong serving: per-user encoder state with O(1) incremental updates.
 
 Reference equivalent: the paper's lifelong-deployment scheme ([P §4.5],
 SURVEY.md §3.5) — the user memory is persisted state; each new behavior
-triggers amortized-O(1) GRU updates (layer l only fires at its period), so
-predictions never replay the history. This is a capability requirement, not
-an optimization: the rebuild's HPMN state must be explicitly
-checkpointable/resumable per user (SURVEY.md §5.4).
+triggers amortized-O(1) updates (HPMN: layer l only fires at its period),
+so predictions never replay the history. This is a capability requirement,
+not an optimization: the rebuild's per-user state must be explicitly
+checkpointable/resumable (SURVEY.md §5.4). Since r5 the store serves every
+family with a target-independent recurrence — hpmn, gru4rec (hidden
+state), rum (K-slot memory) — via ``serving.protocol``; the fence is
+structural, not the model name (VERDICT r4 next #4).
 
 Batched, jit-compiled update/predict:
 
@@ -31,59 +34,55 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.embedding import dense_lookup
-from ..models.hpmn import layer_period
-from ..models.readout import attention_readout
 from ..models.tower import apply_tower
-from ..ops.gru import gru_cell, gru_input_proj
 from ..train.checkpoint import load_user_memory, save_user_memory
 
 
-@functools.partial(jax.jit, static_argnames=("period",))
+@functools.partial(jax.jit, static_argnames=("period", "family"))
 def incremental_update(encoder_params: Dict, memory: jax.Array,
-                       counter: jax.Array, x: jax.Array,
-                       period: int) -> Tuple[jax.Array, jax.Array]:
-    """One behavior per user: memory [B, L, dm], counter [B] (events so
-    far), x [B, d_in] behavior embedding -> (new memory, counter+1).
+                       counter: jax.Array, x: jax.Array, period: int,
+                       family: str = "hpmn") -> Tuple[jax.Array, jax.Array]:
+    """One behavior per user: state [B, K, dm], counter [B] (events so
+    far), x [B, d_in] behavior embedding -> (new state, counter+1).
 
-    Layer l fires iff (counter+1) % period**(l-1) == 0 — identical to the
-    training oracle's firing grid (models.hpmn.encode_oracle), so serving
-    state stays bit-compatible with training-time encodings.
+    Family-dispatched (serving/protocol.py). hpmn: layer l fires iff
+    (counter+1) % period**(l-1) == 0 — identical to the training oracle's
+    firing grid (models.hpmn.encode_oracle), so serving state stays
+    bit-compatible with training-time encodings. gru4rec/rum: every event
+    fires.
     """
-    layers = encoder_params["layers"]
-    t1 = counter + 1
-    new_slots = []
-    lower = x
-    for l, lp in enumerate(layers):
-        m_l = memory[:, l, :]
-        fires = ((t1 % layer_period(period, l)) == 0).astype(x.dtype)[:, None]
-        upd = gru_cell(lp, gru_input_proj(lp, lower), m_l)
-        m_new = fires * upd + (1.0 - fires) * m_l
-        new_slots.append(m_new)
-        lower = m_new  # layer l+1 consumes layer l's post-update memory
-    return jnp.stack(new_slots, axis=1), t1
+    from .protocol import update_state
+
+    return update_state(family, encoder_params, memory, counter, x, period)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("family",))
 def _predict_scores(params: Dict, memory: jax.Array, cand_items: jax.Array,
-                    cand_cats: jax.Array, user_emb) -> jax.Array:
-    """memory [B, L, dm], candidates [B] -> sigmoid scores [B]."""
+                    cand_cats: jax.Array, user_emb,
+                    family: str = "hpmn") -> jax.Array:
+    """state [B, K, dm], candidates [B] -> sigmoid scores [B]."""
+    from .protocol import read_state
+
     q = dense_lookup(params["embedding"], cand_items, cand_cats)
-    read = attention_readout(params["readout"], memory, q)
+    read = read_state(family, params, memory, q)
     parts = [q, read] + ([user_emb] if user_emb is not None else [])
     logits = apply_tower(params["tower"], jnp.concatenate(parts, axis=-1))
     return jax.nn.sigmoid(logits)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("family",))
 def _rank_scores(params: Dict, memory: jax.Array, cand_items: jax.Array,
-                 cand_cats: jax.Array, user_emb) -> jax.Array:
-    """memory [B, L, dm], candidates [B, C] -> sigmoid scores [B, C]: one
-    memory read amortized over all C candidates per user."""
+                 cand_cats: jax.Array, user_emb,
+                 family: str = "hpmn") -> jax.Array:
+    """state [B, K, dm], candidates [B, C] -> sigmoid scores [B, C]: one
+    state read amortized over all C candidates per user."""
+    from .protocol import read_state
+
     B, C = cand_items.shape
     q = dense_lookup(params["embedding"], cand_items.reshape(-1),
                      cand_cats.reshape(-1))  # [B*C, 2d]
-    mem_exp = jnp.repeat(memory, C, axis=0)  # [B*C, L, dm]
-    read = attention_readout(params["readout"], mem_exp, q)
+    mem_exp = jnp.repeat(memory, C, axis=0)  # [B*C, K, dm]
+    read = read_state(family, params, mem_exp, q)
     parts = [q, read]
     if user_emb is not None:
         parts.append(jnp.repeat(user_emb, C, axis=0))
@@ -190,42 +189,51 @@ def _arena_gather(mem: jax.Array, cnt: jax.Array, rows: jax.Array):
 # request batches, so gather -> compute -> write-back runs as ONE jitted
 # call per request batch.
 @functools.partial(jax.jit, donate_argnums=(1, 2),
-                   static_argnames=("period",))
+                   static_argnames=("period", "family"))
 def _dev_update(params: Dict, mem_arena, cnt_arena, rows, item_ids,
-                cat_ids, period: int):
+                cat_ids, period: int, family: str = "hpmn"):
     x = dense_lookup(params["embedding"], item_ids, cat_ids)
     # update allocates rows, so rows are valid; compute in f32 even when
     # the arena stores bf16
     mem = mem_arena[rows].astype(jnp.float32)
     cnt = cnt_arena[rows].astype(jnp.int32)
-    mem2, cnt2 = incremental_update(params["encoder"], mem, cnt, x, period)
+    mem2, cnt2 = incremental_update(params["encoder"], mem, cnt, x, period,
+                                    family=family)
     return (mem_arena.at[rows].set(mem2.astype(mem_arena.dtype)),
             cnt_arena.at[rows].set(cnt2.astype(cnt_arena.dtype)))
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("family",))
 def _dev_predict(params: Dict, mem_arena, rows, cand_items, cand_cats,
-                 user_emb):
+                 user_emb, family: str = "hpmn"):
     known = rows >= 0
     safe = jnp.where(known, rows, 0)
     mem = jnp.where(known[:, None, None],
                     mem_arena[safe].astype(jnp.float32), 0.0)
-    return _predict_scores(params, mem, cand_items, cand_cats, user_emb)
+    return _predict_scores(params, mem, cand_items, cand_cats, user_emb,
+                           family=family)
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("family",))
 def _dev_rank(params: Dict, mem_arena, rows, cand_items, cand_cats,
-              user_emb):
+              user_emb, family: str = "hpmn"):
     known = rows >= 0
     safe = jnp.where(known, rows, 0)
     mem = jnp.where(known[:, None, None],
                     mem_arena[safe].astype(jnp.float32), 0.0)
-    return _rank_scores(params, mem, cand_items, cand_cats, user_emb)
+    return _rank_scores(params, mem, cand_items, cand_cats, user_emb,
+                        family=family)
 
 
 class UserMemoryStore:
-    """Host-side store of per-user lifelong memory (uid -> [L, dm] slots +
-    event counter), with batched device-side update/predict.
+    """Host-side store of per-user lifelong encoder state (uid -> [K, dm]
+    slots + event counter), with batched device-side update/predict.
+
+    Serves every family whose encoder is a TARGET-INDEPENDENT recurrence
+    (``serving.protocol.O1_FAMILIES``): hpmn (L periodic memory slots —
+    the [P §4.5] original), gru4rec (one GRU hidden state), rum (K-slot
+    erase/add memory). Target-dependent families (BST, DIEN) re-encode
+    per candidate and are served by ``serving.history.HistoryStore``.
 
     Storage is a contiguous arena ``[capacity, L, dm]`` with amortized
     doubling growth and a uid->row index, so the per-request host work is
@@ -259,18 +267,24 @@ class UserMemoryStore:
         drift vs the f32 arena is bounded by test."""
         import ml_dtypes
 
-        if cfg.model.name != "hpmn":
+        from .protocol import O1_FAMILIES, n_state_slots
+
+        if cfg.model.name not in O1_FAMILIES:
+            # The fence is structural, not nominal (VERDICT r4 next #4):
+            # O(1) serving needs a target-independent recurrence.
             raise ValueError(
-                f"model family {cfg.model.name!r} has no O(1) lifelong "
-                f"memory recurrence — UserMemoryStore serves HPMN only "
-                f"([P §4.5]). Serve this family with "
+                f"model family {cfg.model.name!r} has no target-"
+                f"independent encoder recurrence, so there is no O(1) "
+                f"per-event state update ([P §4.5]); UserMemoryStore "
+                f"serves {O1_FAMILIES}. Serve this family with "
                 f"serving.history.HistoryStore (bounded recent-history "
                 f"window, batched re-encode per request).")
         self.cfg = cfg
         self.params = params
-        self.L = cfg.model.hpmn_layers
+        self.family = cfg.model.name
+        self.L = n_state_slots(cfg)
         self.d_m = cfg.model.mem_dim
-        self.period = cfg.model.hpmn_period
+        self.period = int(getattr(cfg.model, "hpmn_period", 1))
         self.max_users = max_users
         self.device_resident = device_resident
         self.arena_dtype = arena_dtype
@@ -438,7 +452,7 @@ class UserMemoryStore:
         item_seqs/cat_seqs: [B, T] left-padded int32; masks: [B, T] or None
         (full histories). Overwrites any existing state for these users.
         """
-        from ..models.hpmn import encode_oracle
+        from .protocol import encode_full
 
         item_seqs = jnp.asarray(item_seqs)
         cat_seqs = jnp.asarray(cat_seqs)
@@ -446,13 +460,14 @@ class UserMemoryStore:
         m = (jnp.ones((B, T), jnp.float32) if masks is None
              else jnp.asarray(masks, jnp.float32))
         x = dense_lookup(self.params["embedding"], item_seqs, cat_seqs)
-        mem = encode_oracle(self.params["encoder"], x, m, self.period)
-        # Training fires layers on the ARRAY-position grid of the left-padded
-        # [T] window, so the counter continues from T (not the event count):
-        # future incremental updates stay on the training-aligned grid. For
-        # full-length (lifelong) histories the two coincide.
-        counts = np.full((len(item_seqs),), T, np.int64)
-        self._scatter(np.asarray(uids), mem, counts)
+        # hpmn's counter continues from T (training fires layers on the
+        # ARRAY-position grid of the left-padded window, so future
+        # incremental updates stay on the training-aligned grid; for
+        # full-length lifelong histories array grid == event count);
+        # gru4rec/rum count true valid events (position-independent).
+        mem, counts = encode_full(self.family, self.params, x, m,
+                                  self.period)
+        self._scatter(np.asarray(uids), mem, np.asarray(counts))
 
     def update(self, uids, item_ids, cat_ids) -> None:
         """Ingest one new behavior per listed user (O(1) amortized each)."""
@@ -463,7 +478,8 @@ class UserMemoryStore:
             rows = self._rows_for(uids, create=True)
             self._mem, self._cnt = _dev_update(
                 self.params, self._mem, self._cnt, jnp.asarray(rows),
-                jnp.asarray(item_ids), jnp.asarray(cat_ids), self.period)
+                jnp.asarray(item_ids), jnp.asarray(cat_ids), self.period,
+                family=self.family)
             self._clock += 1
             self._last_touch[rows] = self._clock
             return
@@ -471,7 +487,7 @@ class UserMemoryStore:
         x = dense_lookup(self.params["embedding"], jnp.asarray(item_ids),
                          jnp.asarray(cat_ids))
         mem, cnt = incremental_update(self.params["encoder"], mem, cnt, x,
-                                      self.period)
+                                      self.period, family=self.family)
         self._scatter(uids, mem, cnt)
 
     def _user_emb(self, uids: np.ndarray):
@@ -494,12 +510,12 @@ class UserMemoryStore:
             return np.asarray(_dev_predict(
                 self.params, self._mem, jnp.asarray(rows),
                 jnp.asarray(cand_items), jnp.asarray(cand_cats),
-                self._user_emb(uids)))
+                self._user_emb(uids), family=self.family))
         mem, _ = self._gather(uids)
         scores = _predict_scores(self.params, mem,
                                  jnp.asarray(cand_items),
                                  jnp.asarray(cand_cats),
-                                 self._user_emb(uids))
+                                 self._user_emb(uids), family=self.family)
         return np.asarray(scores)
 
     def rank(self, uids, cand_items, cand_cats) -> np.ndarray:
@@ -516,10 +532,11 @@ class UserMemoryStore:
             return np.asarray(_dev_rank(
                 self.params, self._mem, jnp.asarray(rows),
                 jnp.asarray(cand_items), jnp.asarray(cand_cats),
-                self._user_emb(uids)))
+                self._user_emb(uids), family=self.family))
         mem, _ = self._gather(uids)
         scores = _rank_scores(self.params, mem, jnp.asarray(cand_items),
-                              jnp.asarray(cand_cats), self._user_emb(uids))
+                              jnp.asarray(cand_cats), self._user_emb(uids),
+                              family=self.family)
         return np.asarray(scores)
 
     # ------------------------------------------------------- persistence --

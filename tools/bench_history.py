@@ -88,6 +88,12 @@ def main(argv=None):
     ap.add_argument("--config", default="taobao_bst")
     ap.add_argument("--hpmn_config", default="taobao_hpmn")
     ap.add_argument("--skip_hpmn", action="store_true")
+    ap.add_argument("--family_compare", default="",
+                    help="bench UserMemoryStore vs HistoryStore for ONE "
+                         "O(1)-qualifying family (gru4rec|rum|hpmn) with "
+                         "IDENTICAL params — quantifies what the r5 "
+                         "protocol fence buys that family (VERDICT r4 "
+                         "next #4 done-criterion)")
     ap.add_argument("--force_cpu", action="store_true")
     args = ap.parse_args(argv)
     if args.force_cpu:
@@ -97,6 +103,28 @@ def main(argv=None):
     from hpmn_tpu.data.synthetic import SPECS
     from hpmn_tpu.models import init_model
     from hpmn_tpu.serving import HistoryStore, UserMemoryStore
+
+    if args.family_compare:
+        cfg = get_config(args.config)
+        cfg.model.name = args.family_compare
+        n_items, n_cats = 50_000, 800
+        T = args.window or SPECS[cfg.dataset].seq_len
+        params = init_model(jax.random.key(0), cfg, n_items, n_cats)
+        out = {"metric": "protocol_serving", "model": cfg.model.name,
+               "window": T, "n_users": args.n_users, "batch": args.batch}
+        mem = _bench_store(UserMemoryStore(cfg, params), args.n_users, T,
+                           args.batch, args.rounds, args.rank_c,
+                           args.rank_b, np.random.default_rng(0),
+                           n_items, n_cats)
+        his = _bench_store(HistoryStore(cfg, params, window=T),
+                           args.n_users, T, args.batch, args.rounds,
+                           args.rank_c, args.rank_b,
+                           np.random.default_rng(1), n_items, n_cats)
+        out.update({f"memory_{k}": v for k, v in mem.items()})
+        out.update({f"history_{k}": v for k, v in his.items()})
+        print(json.dumps({k: (round(v, 1) if isinstance(v, float) else v)
+                          for k, v in out.items()}))
+        return
 
     cfg = get_config(args.config)
     n_items, n_cats = 50_000, 800

@@ -97,10 +97,14 @@ def main(argv=None):
                      "(was the run trained with train.ema_decay > 0? pass "
                      "the same --set train.ema_decay=...)")
 
-    # Store kind follows the model family: HPMN has the O(1) memory arena;
-    # every other family (BST & co) serves from the recent-history window
+    # Store kind follows the STRUCTURAL family boundary: families with a
+    # target-independent encoder recurrence (hpmn/gru4rec/rum —
+    # serving.protocol.O1_FAMILIES) get the O(1) state arena; target-
+    # dependent families (BST, DIEN) serve from the recent-history window
     # store (serving/history.py).
-    if cfg.model.name == "hpmn":
+    from hpmn_tpu.serving import O1_FAMILIES
+
+    if cfg.model.name in O1_FAMILIES:
         store = UserMemoryStore(cfg, serve_params)
     else:
         from hpmn_tpu.serving import HistoryStore
