@@ -96,35 +96,42 @@ def _probe_backend(timeout_s: int = 600) -> None:
 
 def _run_gate() -> None:
     """--gate: run the on-chip compiled-numerics gate (tools/verify_onchip.py)
-    before benchmarking and fail LOUDLY if the Pallas kernels have drifted
-    from the XLA anchor — a kernel-numerics regression must produce a red
-    artifact, not a quietly-faster number (VERDICT r2 weak #4)."""
+    and the reduced quality gate (tools/quality_gate.py — one model per
+    tier on the planted long-range task, VERDICT r4 next #5) before
+    benchmarking; fail LOUDLY if the Pallas kernels drifted from the XLA
+    anchor or the tier AUCs fell through their floors — a regression must
+    produce a red artifact, not a quietly-faster number."""
     import subprocess
 
-    try:
-        r = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(__file__), "tools",
-                          "verify_onchip.py")],
-            capture_output=True, text=True, timeout=3600)
-    except subprocess.TimeoutExpired:
-        # A wedged gate must still honor the one-JSON-line stdout contract.
-        print(json.dumps({
-            "metric": "xlong_hpmn_train_examples_per_sec_per_chip",
-            "value": None, "unit": "examples/s/chip", "vs_baseline": None,
-            "error": "on-chip numerics gate TIMED OUT after 3600s "
-                     "(tools/verify_onchip.py hung — tunnel wedged?)"}))
-        sys.exit(1)
-    sys.stderr.write(r.stderr)
-    if r.returncode != 0:
-        print(json.dumps({
-            "metric": "xlong_hpmn_train_examples_per_sec_per_chip",
-            "value": None, "unit": "examples/s/chip", "vs_baseline": None,
-            "error": "on-chip numerics gate FAILED (tools/verify_onchip.py)",
-            "gate": (r.stdout or "").strip()[-2000:]}))
-        sys.exit(1)
-    print(f"# numerics gate passed: {(r.stdout or '').strip()}",
-          file=sys.stderr)
+    def run_leg(script, label, timeout):
+        try:
+            r = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(__file__), "tools", script)],
+                capture_output=True, text=True, timeout=timeout)
+        except subprocess.TimeoutExpired:
+            # A wedged gate must still honor the one-JSON-line contract.
+            print(json.dumps({
+                "metric": "xlong_hpmn_train_examples_per_sec_per_chip",
+                "value": None, "unit": "examples/s/chip",
+                "vs_baseline": None,
+                "error": f"{label} TIMED OUT after {timeout}s "
+                         f"(tools/{script} hung — tunnel wedged?)"}))
+            sys.exit(1)
+        sys.stderr.write(r.stderr)
+        if r.returncode != 0:
+            print(json.dumps({
+                "metric": "xlong_hpmn_train_examples_per_sec_per_chip",
+                "value": None, "unit": "examples/s/chip",
+                "vs_baseline": None,
+                "error": f"{label} FAILED (tools/{script})",
+                "gate": (r.stdout or "").strip()[-2000:]}))
+            sys.exit(1)
+        print(f"# {label} passed: {(r.stdout or '').strip()[-500:]}",
+              file=sys.stderr)
+
+    run_leg("verify_onchip.py", "on-chip numerics gate", 3600)
+    run_leg("quality_gate.py", "quality gate", 3600)
 
 
 def main():

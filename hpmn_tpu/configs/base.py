@@ -108,8 +108,12 @@ def base_config() -> ml_collections.ConfigDict:
     c.train.log_dir = ""  # tensorboardX event files (SURVEY.md §5.5)
     c.train.keep_best_k = 3
     c.train.async_checkpoint = False  # overlap snapshot writes with training
-    c.train.compilation_cache_dir = ""  # persistent jit cache: restarts
-    #                                     skip the 20-40s TPU compiles
+    # Persistent jit cache: restarts/relaunches skip the 20-40s TPU
+    # compiles — and the autotune probes' per-rung compiles, their
+    # dominant cost (BASELINE.md autotune section). Ships ON (r5,
+    # VERDICT r4 weak #4): a fresh launch of a previously-run config
+    # starts in seconds instead of minutes. "" disables; ~ expands.
+    c.train.compilation_cache_dir = "~/.cache/hpmn_tpu/xla"
     c.train.profile_steps = 0  # >0: dump a jax.profiler trace of N steps
     c.train.debug_nans = False
     # Train steps fused into one dispatch (lax.scan over stacked batches).
@@ -154,9 +158,14 @@ def base_config() -> ml_collections.ConfigDict:
     # Static per-owner bucket capacity = ceil(ceil(N/S)*f) for the bucketed
     # a2a exchange. Any per-owner overflow (e.g. frequency-sorted vocabs
     # skewing load onto the shard owning the hot rows) falls back to an
-    # exact all_gather+psum pass for that batch — correct, slower; raise f
-    # if the fallback fires chronically.
-    c.mesh.a2a_capacity_factor = 2.0
+    # exact all_gather+psum pass for that batch — correct, slower, and
+    # surfaced as the ``a2a_overflow_steps`` train-metric/log counter;
+    # raise f if that counter runs chronically hot (OPERATIONS.md).
+    # 0 = AUTO (r5): the driver derives f from the training arrays' actual
+    # id distribution at startup (train.resolve_capacity_factor — sampled
+    # per-owner imbalance at the step's per-shard query sizes, x1.25
+    # margin). Direct API callers who leave 0 get the uniform 2.0.
+    c.mesh.a2a_capacity_factor = 0.0
     # Sequence parallelism (parallel/seq_parallel.py): shard the T axis of
     # the long scans over a "seq" mesh axis with pipelined carry handoff.
     # Mutually exclusive with model_parallel/use_pallas in v1 (enforced).
@@ -168,9 +177,12 @@ def base_config() -> ml_collections.ConfigDict:
     c.eval_batch_size = 256
     # Eval batches fused per device dispatch (lax.map over stacked batches
     # — the train path's steps_per_dispatch economics applied to the eval
-    # loop; logits identical). Single-host only; multi-host evals fall
-    # back to per-batch dispatches.
-    c.eval_steps_per_dispatch = 1
+    # loop; logits identical, single- AND multi-host). 0 = AUTO (r5): the
+    # driver probes the eval ladder for the attached link at startup (the
+    # r4 shipped constants encoded THIS tunnel's knees — see
+    # MEASURED_EVAL_KNEES) and persists the choice in the autotune
+    # sidecar. Tests/fixed harnesses pin an explicit value.
+    c.eval_steps_per_dispatch = 0
     c.eval_streaming_bins = 0  # >0: bounded-memory histogram AUC/GAUC
     # Streaming-mode GAUC: per-user [2, eval_gauc_bins] int32 histograms —
     # O(users) memory, independent of impression count. 0 disables (gauc =
@@ -192,9 +204,9 @@ def _amazon(c):
     c.model.hpmn_layers = 4  # T=100: periods 1,4,16,64
     c.model.hpmn_period = 4
     c.loss.l2_weight = 1e-4
-    # Measured eval ladder at T=100 (BASELINE.md, r4): 7.1k -> 24.1k (k=8)
-    # -> 28.1k ex/s (k=16) — short steps are dispatch-bound, same as train.
-    c.eval_steps_per_dispatch = 16
+    # Measured eval ladder at T=100 on the r4 tunnel (BASELINE.md): 7.1k
+    # -> 24.1k (k=8) -> 28.1k ex/s (k=16) — short steps are dispatch-
+    # bound, same as train. Ships 0 = auto since r5 (MEASURED_EVAL_KNEES).
     return c
 
 
@@ -203,7 +215,7 @@ def _taobao(c):
     c.model.hpmn_layers = 5  # T=300: periods 1,3,9,27,81
     c.model.hpmn_period = 3
     c.loss.l2_weight = 1e-5
-    c.eval_steps_per_dispatch = 8  # measured eval knee (BASELINE.md, r4)
+    # r4 tunnel eval knee was 8 (BASELINE.md); ships 0 = auto since r5.
     return c
 
 
@@ -212,10 +224,11 @@ def _xlong(c):
     c.model.hpmn_layers = 6  # T=1000: periods 1,3,...,243 (all layers fire;
     c.model.hpmn_period = 3  # period 4 would leave the 1024-period top dead)
     c.loss.l2_weight = 1e-5
-    # Measured eval knee on the tunneled chip (tools/bench_eval.py, r4):
+    # Measured eval knee on the r4 tunneled chip (tools/bench_eval.py):
     # k=1 3.6k / k=4 5.4k / k=8 6.6k eval ex/s (1.8x); k=16 regressed on a
-    # 16-batch epoch (no inter-group pipelining left).
-    c.eval_steps_per_dispatch = 8
+    # 16-batch epoch (no inter-group pipelining left). Ships 0 = auto
+    # since r5; the probe's ladder cap is the eval epoch's batch count,
+    # which encodes exactly that regression.
     # B=512 is the measured throughput optimum on TPU v5e (BASELINE.md:
     # 256 and 1024 both bench lower at k=1; with dispatch chaining B=1024
     # only ties it) — the config default IS the recorded headline shape.
@@ -337,6 +350,20 @@ MEASURED_DISPATCH_KNEES = {
     "amazon_gru4rec": 64,
     "taobao_bst": 16,
     "xlong_bst": 16,
+}
+
+# Eval-loop knees measured on the same tunnel (r4, tools/bench_eval.py).
+# Configs ship eval_steps_per_dispatch=0 (auto-probe); this table keeps the
+# tunnel measurements for tools that need a fixed ke without probing.
+MEASURED_EVAL_KNEES = {
+    "amazon_hpmn": 16,
+    "taobao_hpmn": 8,
+    "xlong_hpmn": 8,
+    "taobao_dien": 8,
+    "amazon_rum": 16,
+    "amazon_gru4rec": 16,
+    "taobao_bst": 8,
+    "xlong_bst": 8,
 }
 
 

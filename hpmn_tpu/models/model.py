@@ -125,6 +125,14 @@ def apply_model(params: Dict, cfg, batch: Batch,
     validate_batch(batch)  # trace-time shape/dtype contract (SURVEY.md §5.2)
     if lookup_fn is None:
         lookup_fn = dense_lookup
+    # Bucketed-a2a lookups report their mesh-wide overflow flag through a
+    # per-trace sink list (parallel.embedding_sharding.exchange_overflow);
+    # drained into aux["a2a_overflow"] below so the train step can surface
+    # the fallback rate in metrics. Cleared up front in case an abandoned
+    # trace left stale tracers behind.
+    _of_sink = getattr(lookup_fn, "overflow_sink", None)
+    if _of_sink is not None:
+        _of_sink.clear()
     gru_seq_fn = _resolve_gru_seq_fn(cfg, gru_seq_fn)
     name = cfg.model.name
     # Time-major fused-kernel hot path: embeddings are gathered straight
@@ -207,6 +215,13 @@ def apply_model(params: Dict, cfg, batch: Batch,
         tower_in.append(_user_lookup(lookup_fn, params["embedding"],
                                      batch.uid))
     logits = apply_tower(params["tower"], jnp.concatenate(tower_in, -1))
+    if _of_sink:
+        flag = _of_sink[0]
+        for f in _of_sink[1:]:
+            flag = jnp.maximum(flag, f)
+        # 1.0 iff ANY exchange this step hit the all_gather+psum fallback
+        aux["a2a_overflow"] = flag.astype(jnp.float32)
+        _of_sink.clear()
     return logits, aux
 
 
@@ -239,5 +254,7 @@ def loss_fn(params: Dict, cfg, batch: Batch,
     logits, aux = apply_model(params, cfg, batch, lookup_fn, gru_seq_fn)
     loss, metrics = total_loss(params, cfg, logits, aux,
                                batch.label.astype(logits.dtype))
+    if "a2a_overflow" in aux:
+        metrics["a2a_overflow"] = aux["a2a_overflow"]
     metrics["logits"] = logits
     return loss, metrics

@@ -45,10 +45,11 @@ def make_sharded_steps(cfg, tx, mesh: Mesh,
     math/overhead win as the single-device ``make_multistep_train``,
     ARCHITECTURE §4)."""
     mode = cfg.mesh.embedding_mode
+    # 0 = auto; resolved by the driver (train.resolve_capacity_factor).
+    # Direct API callers who leave it 0 get the uniform-distribution 2.0.
+    cap_f = float(getattr(cfg.mesh, "a2a_capacity_factor", 2.0)) or 2.0
     lookup_fn = (None if mode == "replicated"
-                 else make_sharded_lookup(
-                     mesh, mode,
-                     float(getattr(cfg.mesh, "a2a_capacity_factor", 2.0))))
+                 else make_sharded_lookup(mesh, mode, cap_f))
     k = cfg.train.steps_per_dispatch
     p_shard = lambda p: param_shardings(mesh, p)
     b_shard = batch_sharding(mesh, stacked=k > 1)
@@ -170,7 +171,8 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
             raise ValueError("gru_seq_fn is owned by the seq axis here")
         gru_seq_fn = resolve_sp_fn(cfg, n_seq)
     k = cfg.train.steps_per_dispatch
-    cap_f = float(getattr(cfg.mesh, "a2a_capacity_factor", 2.0))
+    # 0 = auto (driver-resolved); direct callers fall back to 2.0.
+    cap_f = float(getattr(cfg.mesh, "a2a_capacity_factor", 2.0)) or 2.0
     if bom:
         lookup = local_bucketed_lookup_fn(n_model, capacity_factor=cap_f,
                                           table_grad_scale=1.0 / n_model)
@@ -205,6 +207,12 @@ def make_shardmap_steps(cfg, tx, mesh: Mesh,
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             params, cfg, batch, lookup, gru_seq_fn)
         del metrics["logits"]
+        if "a2a_overflow" in metrics:
+            # psum'd over "model" inside the lookup; data(/seq) groups run
+            # independent exchanges, so pmax -> 1.0 iff ANY group fell back
+            # this step (binary counter; the later pmean is then identity)
+            metrics["a2a_overflow"] = jax.lax.pmax(metrics["a2a_overflow"],
+                                                   dense_axes)
         if cfg.loss.l2_weight > 0 and n_model > 1:
             # Each model-shard's l2 sees only its table rows, undercounting
             # the reported loss/l2 (gradients are unaffected:

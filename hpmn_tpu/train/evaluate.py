@@ -33,8 +33,11 @@ def evaluate(eval_step: Callable, params, loader: DataLoader,
     missing #4): k batches ride ONE device dispatch (short trailing groups
     pad by repeating the last batch with n_valid=0 — scored, discarded),
     and device pulls lag one group so the next dispatch overlaps the pull.
-    Single-host only (the multi-host shard-local row extraction is
-    per-batch); ignored when fused_eval is None.
+    Works multi-host too (VERDICT r4 next #1: the shard-local row
+    extraction stacks across the k group — ``_local_rows_stacked``);
+    every host must run the same dispatch sequence, which holds because
+    the DataLoader pads per-host shards to a common batch count. Ignored
+    when fused_eval is None.
 
     ``streaming_bins > 0`` (config ``eval_streaming_bins``) switches to the
     bounded-memory histogram estimators (:class:`metrics.StreamingAUC` +
@@ -78,8 +81,7 @@ def _scored_batches(eval_step: Callable, params, loader: DataLoader,
     stream (see :func:`evaluate`)."""
     import collections
 
-    ke = steps_per_dispatch if (fused_eval is not None
-                                and jax.process_count() == 1) else 1
+    ke = steps_per_dispatch if fused_eval is not None else 1
     if ke <= 1:
         for batch, n_valid in loader.one_epoch():
             yield (_local_rows(eval_step(params, batch), batch.batch_size),
@@ -102,7 +104,7 @@ def _scored_batches(eval_step: Callable, params, loader: DataLoader,
 
     def drain():
         dev, group = inflight.popleft()
-        lg = np.asarray(jax.device_get(dev))
+        lg = _local_rows_stacked(dev, group[0][0].batch_size)
         for i, (b, nv) in enumerate(group):
             yield lg[i], b, nv
 
@@ -178,6 +180,27 @@ def _merge_gauc_across_hosts(gacc, gauc_bins: int, gauc_max_users: int):
         merged.merge_state(
             g_uids[p, :k], g_hists[p, :k].reshape(k, 2, gauc_bins))
     return merged
+
+
+def _local_rows_stacked(arr, n_local: int) -> np.ndarray:
+    """THIS host's rows of a STACKED [k, B_global] fused-eval output ->
+    [k, n_local] — the k-group generalization of :func:`_local_rows`
+    (VERDICT r4 next #1: this is what lets eval dispatch chaining run in
+    the multi-host regime instead of falling back to one synchronous
+    round-trip per batch)."""
+    if jax.process_count() == 1:
+        return np.asarray(jax.device_get(arr))
+    if getattr(arr, "is_fully_addressable", True):
+        g = np.asarray(jax.device_get(arr))
+        p = jax.process_index()
+        return g[:, p * n_local:(p + 1) * n_local]
+    seen = {}
+    for s in arr.addressable_shards:  # index = (k-slice, example-slice)
+        start = s.index[1].start or 0
+        if start not in seen:  # dedupe model-axis replicas
+            seen[start] = np.asarray(s.data)
+    return np.concatenate([seen[k] for k in sorted(seen)],
+                          axis=1)[:, :n_local]
 
 
 def _local_rows(arr, n_local: int) -> np.ndarray:

@@ -181,8 +181,11 @@ def fuse_steps(step_fn: Callable) -> Callable:
     batches, one device dispatch for all k steps. Identical math to k
     sequential calls (tested bitwise per execution path); wins the
     per-dispatch host/runtime overhead (ARCHITECTURE §4). Returns the LAST
-    step's metrics, matching the single-step driver's log lines. Shared by
-    the single-device, GSPMD, and shard_map step factories."""
+    step's metrics, matching the single-step driver's log lines — except
+    ``a2a_overflow``, which is SUMMED over the k steps (it is an event
+    counter: "how many steps of this dispatch hit the exchange fallback";
+    a last-step sample would hide k-1 of them). Shared by the
+    single-device, GSPMD, and shard_map step factories."""
 
     def multistep(params, opt_state, batches):
         def body(carry, batch):
@@ -191,7 +194,10 @@ def fuse_steps(step_fn: Callable) -> Callable:
 
         (params, opt_state), ms = jax.lax.scan(body, (params, opt_state),
                                                batches)
-        return params, opt_state, jax.tree.map(lambda x: x[-1], ms)
+        out = jax.tree.map(lambda x: x[-1], ms)
+        if "a2a_overflow" in ms:
+            out["a2a_overflow"] = ms["a2a_overflow"].sum()
+        return params, opt_state, out
 
     return multistep
 
@@ -337,6 +343,118 @@ def probe_steps_per_dispatch(cfg, build_train, params, opt_state, spec,
     return choice
 
 
+def probe_eval_steps_per_dispatch(cfg, eval_step, fused_eval, params, spec,
+                                  n_batches_cap: int,
+                                  log: Callable[[str], None] = print,
+                                  tol: float = 0.05, n_groups: int = 2,
+                                  flat_stop: int = 2) -> int:
+    """Eval-loop twin of :func:`probe_steps_per_dispatch` (VERDICT r4 next
+    #1b: the r4 configs shipped eval knees measured on ONE tunnel; a
+    production link moves them). Times the geometric ke ladder through the
+    driver's own ``eval_step``/``fused_eval`` closures — host batches in,
+    device pull per dispatch — which is exactly the production evaluate
+    loop's cost shape (eval has no prefetch; transfer rides the dispatch).
+
+    The ladder is capped by the eval epoch's per-host batch count: fusing
+    more batches than an epoch holds only pads the trailing group with
+    discarded work (the r4 xlong measurement: k=16 REGRESSED on a 16-batch
+    epoch). Multi-host: every host runs the identical ladder and the
+    choice is broadcast from process 0."""
+    import numpy as np
+
+    from ..data.schema import dummy_batch
+
+    B, T = cfg.eval_batch_size, spec.seq_len
+    pool = [dummy_batch(B, T, spec.n_items, spec.n_cats, seed=8000 + i)
+            for i in range(4)]
+    cap = max(1, min(64, n_batches_cap))
+
+    def time_ke(k):
+        if k == 1:
+            np.asarray(jax.device_get(eval_step(params, pool[0])))  # warm
+            t0 = time.time()
+            for i in range(2 * n_groups):
+                np.asarray(jax.device_get(
+                    eval_step(params, pool[1 + i % 3])))
+            return (time.time() - t0) / (2 * n_groups)
+        mk = lambda i: jax.tree.map(
+            lambda *xs: np.stack([np.asarray(x) for x in xs]),
+            *[pool[(i + j) % len(pool)] for j in range(k)])
+        stacks = [mk(i) for i in range(n_groups + 1)]
+        np.asarray(jax.device_get(fused_eval(params, stacks[0])))  # warm
+        t0 = time.time()
+        for i in range(n_groups):
+            np.asarray(jax.device_get(fused_eval(params, stacks[1 + i])))
+        return (time.time() - t0) / (n_groups * k)
+
+    ladder, k, flat = {}, 1, 0
+    while k <= cap:
+        t = ladder[k] = time_ke(k)
+        prior = [ladder[kk] for kk in ladder if kk < k]
+        if prior and t > min(prior) * (1 - tol):
+            flat += 1
+            if flat >= flat_stop:
+                break
+        else:
+            flat = 0
+        k *= 2
+    best_t = min(ladder.values())
+    choice = min(kk for kk, t in ladder.items() if t <= best_t * (1 + tol))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        choice = int(multihost_utils.broadcast_one_to_all(
+            np.asarray(choice, np.int32)))
+    log("autotuned eval_steps_per_dispatch=" + str(choice) + " (ms/batch: "
+        + ", ".join(f"k={kk}:{t * 1e3:.2f}" for kk, t in ladder.items())
+        + f"; cap {cap})")
+    return choice
+
+
+def resolve_capacity_factor(cfg, arrays, spec, n_model: int, bom: bool,
+                            log: Callable[[str], None] = print) -> None:
+    """``mesh.a2a_capacity_factor == 0`` (the shipped default) = AUTO:
+    derive it from the ACTUAL id distribution at startup
+    (``parallel.embedding_sharding.derive_capacity_factor``) instead of a
+    fixed constant — frequency-sorted real vocabs skew per-owner load far
+    beyond the uniform-synthetic 2.0 (VERDICT r4 weak #2). Samples item and
+    category ids from the training arrays at the per-shard query sizes the
+    production step will issue. Mutates cfg in place; no-op for explicit
+    factors or non-a2a modes."""
+    if cfg.mesh.embedding_mode != "a2a" or \
+            float(cfg.mesh.a2a_capacity_factor) != 0.0:
+        return
+    import numpy as np
+
+    from ..parallel.embedding_sharding import (derive_capacity_factor,
+                                               pad_vocab)
+
+    n_dev = max(1, len(jax.devices()))
+    n_data = max(1, n_dev // (n_model * max(1, cfg.mesh.seq_parallel)))
+    B_glob = cfg.train.batch_size * jax.process_count()
+    T = spec.seq_len
+    if bom:  # ids arrive shard-local: per-shard N = examples-per-shard x T
+        ex = max(1, B_glob // (n_data * n_model))
+        sizes = [ex, ex * T]
+    else:  # replicated-ids contract: each shard takes a 1/S chunk
+        ex = max(1, B_glob // n_data)
+        sizes = [-(-ex // n_model), -(-ex * T // n_model)]
+    # Representative samples (<= ~2k example rows keeps memmaps cheap).
+    rows = min(2000, len(arrays["target_item"]))
+    samples = []
+    for seq_f, tgt_f, n_vocab in (("item_seq", "target_item", spec.n_items),
+                                  ("cat_seq", "target_cat", spec.n_cats)):
+        ids = np.concatenate([
+            np.asarray(arrays[seq_f][:rows]).reshape(-1).astype(np.int64),
+            np.asarray(arrays[tgt_f][:rows]).astype(np.int64)])
+        samples.append((ids, pad_vocab(int(n_vocab), n_model) // n_model))
+    cfg.mesh.a2a_capacity_factor = derive_capacity_factor(
+        samples, n_model, sizes)
+    log(f"derived a2a_capacity_factor="
+        f"{cfg.mesh.a2a_capacity_factor:.2f} from the id distribution "
+        f"(slice sizes {sizes})")
+
+
 def fuse_eval(eval_fn: Callable) -> Callable:
     """Chain k eval batches into ONE dispatch: ``lax.map`` over a stacked
     [k, B, ...] Batch -> [k, B] logits (no carry — eval is a trivial scan).
@@ -366,9 +484,18 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         jax.config.update("jax_debug_nans", True)
     if getattr(cfg.train, "compilation_cache_dir", ""):
         # Persistent compiled-program cache: a restarted/preempted run (or
-        # the next run of the same config) skips the 20-40s TPU compiles.
-        jax.config.update("jax_compilation_cache_dir",
-                          cfg.train.compilation_cache_dir)
+        # the next run of the same config) skips the 20-40s TPU compiles —
+        # including the autotune probes' per-rung compiles (their dominant
+        # cost). Ships on by default (r5).
+        import os as _os
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.path.expanduser(cfg.train.compilation_cache_dir))
+        # Cache every compile: the default min-compile-time threshold (1s)
+        # skips exactly the small programs the CPU test/dev loops recompile
+        # most, and TPU programs all clear it anyway.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
     train_arrays, val_arrays, test_arrays, spec = make_datasets(cfg)
     pidx, pcnt = jax.process_index(), jax.process_count()
@@ -419,10 +546,10 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         return ema if ema is not None else params
 
     # Eval dispatch chaining (ARCHITECTURE §4 applied to the eval loop):
-    # ke batches per eval dispatch; single-host only (evaluate() falls back
-    # per-batch on multi-host, where shard-local row extraction is
-    # per-batch).
-    ke = max(1, int(getattr(cfg, "eval_steps_per_dispatch", 1)))
+    # ke batches per eval dispatch, single- and multi-host (the stacked
+    # shard-local row extraction, evaluate._local_rows_stacked). 0 = AUTO:
+    # probed after the steps are built (see the autotune block below).
+    ke = int(getattr(cfg, "eval_steps_per_dispatch", 1))
     fused_eval = None
     # Wire-compact every host->device batch when the vocab allows (exact;
     # schema.compact_batch — expanded on device inside apply_model).
@@ -448,6 +575,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             and cfg.mesh.embedding_mode in ("replicated", "a2a")
         if cfg.mesh.embedding_mode == "replicated":
             cfg.mesh.embedding_mode = "a2a" if bom else "psum"
+        resolve_capacity_factor(cfg, train_arrays, spec,
+                                cfg.mesh.model_parallel, bom, log)
         over = ("data", "model") if bom else ("data",)
         params = init_sharded_model(jax.random.key(cfg.seed), cfg,
                                     spec.n_items, spec.n_cats, mesh,
@@ -463,9 +592,9 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         _eval_step = jit_eval(params)
         eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, cb(b),
                                                            over=over))
-        if ke > 1 and jax.process_count() == 1:
+        def make_fused(jit_eval=jit_eval, mesh=mesh, over=over):
             _fe = jit_eval.fused(params)
-            fused_eval = lambda p, bs: _fe(
+            return lambda p, bs: _fe(
                 p, shard_batch(mesh, cb(bs), stacked=True, over=over))
         place = lambda b: shard_batch(
             mesh, cb(b), stacked=cfg.train.steps_per_dispatch > 1, over=over)
@@ -498,10 +627,10 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
 
         _eval_step = jit_eval(params)
         eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, cb(b)))
-        if ke > 1 and jax.process_count() == 1:
+        def make_fused(jit_eval=jit_eval, mesh=mesh):
             _fe = jit_eval.fused(params)
-            fused_eval = lambda p, bs: _fe(p, shard_batch(mesh, cb(bs),
-                                                          stacked=True))
+            return lambda p, bs: _fe(p, shard_batch(mesh, cb(bs),
+                                                    stacked=True))
         place = lambda b: shard_batch(
             mesh, cb(b), stacked=cfg.train.steps_per_dispatch > 1)
         probe_place = lambda b, stacked: shard_batch(mesh, b, stacked=stacked)
@@ -524,6 +653,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         if cfg.mesh.model_parallel > 1 and \
                 cfg.mesh.embedding_mode == "replicated":
             cfg.mesh.embedding_mode = "a2a" if bom else "psum"
+        resolve_capacity_factor(cfg, train_arrays, spec,
+                                cfg.mesh.model_parallel, bom, log)
         over = ("data", "model") if bom else ("data",)
         params = init_sharded_model(jax.random.key(cfg.seed), cfg,
                                     spec.n_items, spec.n_cats, mesh,
@@ -547,9 +678,9 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
         _eval_step = jit_eval(params)
         eval_step = lambda p, b: _eval_step(p, shard_batch(mesh, cb(b),
                                                            over=over))
-        if ke > 1 and jax.process_count() == 1:
+        def make_fused(jit_eval=jit_eval, mesh=mesh, over=over):
             _fe = jit_eval.fused(params)
-            fused_eval = lambda p, bs: _fe(
+            return lambda p, bs: _fe(
                 p, shard_batch(mesh, cb(bs), stacked=True, over=over))
         place = lambda b: shard_batch(
             mesh, cb(b), stacked=cfg.train.steps_per_dispatch > 1, over=over)
@@ -571,41 +702,65 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
 
         _es0 = make_eval_step(cfg, lookup_fn, gru_seq_fn)
         eval_step = lambda p, b: _es0(p, cb(b))
-        if ke > 1:
+        def make_fused():
             _fe0 = make_fused_eval(cfg, lookup_fn, gru_seq_fn)
-            fused_eval = lambda p, bs: _fe0(p, cb(bs))
+            return lambda p, bs: _fe0(p, cb(bs))
         place = lambda b: jax.tree.map(jax.device_put, cb(b))
         probe_place = None
 
-    # steps_per_dispatch == 0 ("auto"): probe the dispatch-chaining knee
-    # for the attached link, then build the step at the chosen k. Explicit
-    # values skip the probe entirely (the override path). With a ckpt_dir,
-    # the choice persists in a sidecar so a PREEMPTED/RESUMED run reuses
-    # the original k instead of re-probing — re-probing costs minutes of
-    # compiles and a timing-dependent k would change the step grouping
-    # (eval cadence, log boundaries) of the replayed trajectory.
-    if cfg.train.steps_per_dispatch == 0:
-        import json
-        import os as _os
+    # steps_per_dispatch == 0 / eval_steps_per_dispatch == 0 ("auto"):
+    # probe the dispatch-chaining knees for the attached link, then build
+    # at the chosen k/ke. Explicit values skip the probes entirely (the
+    # override path). With a ckpt_dir, both choices persist in ONE sidecar
+    # so a PREEMPTED/RESUMED run reuses them instead of re-probing —
+    # re-probing costs minutes of compiles and a timing-dependent k would
+    # change the step grouping (eval cadence, log boundaries) of the
+    # replayed trajectory.
+    import json
+    import os as _os
 
-        side = (_os.path.join(cfg.train.ckpt_dir, "autotune.json")
-                if cfg.train.ckpt_dir else "")
-        if side and _os.path.exists(side):
-            with open(side) as f:
-                cfg.train.steps_per_dispatch = int(
-                    json.load(f)["steps_per_dispatch"])
+    side = (_os.path.join(cfg.train.ckpt_dir, "autotune.json")
+            if cfg.train.ckpt_dir else "")
+    sidecar, side_dirty = {}, False
+    if side and _os.path.exists(side):
+        with open(side) as f:
+            sidecar = json.load(f)
+    if cfg.train.steps_per_dispatch == 0:
+        if "steps_per_dispatch" in sidecar:
+            cfg.train.steps_per_dispatch = int(
+                sidecar["steps_per_dispatch"])
             log(f"reusing autotuned steps_per_dispatch="
                 f"{cfg.train.steps_per_dispatch} from {side}")
         else:
             cfg.train.steps_per_dispatch = probe_steps_per_dispatch(
                 cfg, build_train, params, opt_state, spec, log,
                 place=probe_place)
-            if side and jax.process_index() == 0:
-                _os.makedirs(cfg.train.ckpt_dir, exist_ok=True)
-                with open(side, "w") as f:
-                    json.dump({"steps_per_dispatch":
-                               cfg.train.steps_per_dispatch}, f)
+            sidecar["steps_per_dispatch"] = cfg.train.steps_per_dispatch
+            side_dirty = True
     train_step = build_train(cfg.train.steps_per_dispatch)
+    if ke == 0:
+        if "eval_steps_per_dispatch" in sidecar:
+            ke = int(sidecar["eval_steps_per_dispatch"])
+            log(f"reusing autotuned eval_steps_per_dispatch={ke} "
+                f"from {side}")
+        else:
+            n_val_batches = -(-val_loader.n_local // cfg.eval_batch_size)
+            fused_eval = make_fused()  # the probe warms its compile cache
+            ke = probe_eval_steps_per_dispatch(
+                cfg, eval_step, fused_eval, params, spec,
+                n_batches_cap=n_val_batches, log=log)
+            sidecar["eval_steps_per_dispatch"] = ke
+            side_dirty = True
+    ke = max(1, ke)
+    cfg.eval_steps_per_dispatch = ke
+    if ke > 1 and fused_eval is None:
+        fused_eval = make_fused()
+    elif ke <= 1:
+        fused_eval = None
+    if side_dirty and side and jax.process_index() == 0:
+        _os.makedirs(cfg.train.ckpt_dir, exist_ok=True)
+        with open(side, "w") as f:
+            json.dump(sidecar, f)
 
     mngr = None
     start_step = 0
@@ -651,6 +806,10 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     t_run_start = time.time()
     nonproductive_s = 0.0
     t_last, n_since = time.time(), 0
+    # Bucketed-exchange fallback counter (VERDICT r4 weak #2): device
+    # scalars are collected per dispatch and pulled only at log boundaries
+    # (already synced there), so counting costs no extra syncs.
+    of_pending, overflow_steps = [], 0
     k = cfg.train.steps_per_dispatch
     base_it = iter(train_loader)
     if k > 1:
@@ -667,6 +826,8 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             params, opt_state, metrics = train_step(params, opt_state, batch)
             step += k
             n_since += k
+            if "a2a_overflow" in metrics:
+                of_pending.append(metrics["a2a_overflow"])
             if stop_signal:
                 mngr.save_preemption(step, params, opt_state,
                                      train_loader.state_dict())
@@ -687,8 +848,17 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 loss_v = float(metrics["loss"])
                 dt = time.time() - t_last
                 eps = n_since * cfg.train.batch_size / dt
+                of_line = ""
+                if of_pending:
+                    overflow_steps += int(sum(float(x) for x in of_pending))
+                    of_pending.clear()
+                    # steps (not dispatches) that fell back to the exact
+                    # all_gather+psum exchange — chronically nonzero means
+                    # raise mesh.a2a_capacity_factor (OPERATIONS.md)
+                    of_line = f" a2a_overflow_steps {overflow_steps}"
                 log(f"step {step} loss {loss_v:.4f} "
-                    f"bce {float(metrics['bce']):.4f} ex/s {eps:.1f}")
+                    f"bce {float(metrics['bce']):.4f} ex/s {eps:.1f}"
+                    f"{of_line}")
                 if writer is not None:
                     # NB: do not shadow `k` (the steps-per-dispatch stride)
                     for name, v in metrics.items():

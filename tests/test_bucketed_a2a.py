@@ -305,3 +305,144 @@ def test_fused_eval_with_a2a_lookup(factory_name, bom):
     for i, b in enumerate(batches):
         want, _ = apply_model(p_ref, cfg, b)
         np.testing.assert_allclose(out[i], np.asarray(want), atol=1e-4)
+
+
+def _regime_batch(B, T, skew: bool, seed=0):
+    """Full-mask batch with every id field redrawn: uniform over the whole
+    vocab, or (skew) confined to shard 0's rows — the frequency-skew
+    regime the capacity fallback exists for. Full masks matter: dummy
+    batches left-pad with id 0, and those padding zeros all land on owner
+    0 — enough real skew to overflow a bucket on their own."""
+    import dataclasses
+
+    from hpmn_tpu.data.schema import _ID_FIELDS
+
+    b = dummy_batch(B, T, N_ITEMS, N_CATS, seed=seed)
+    rng = np.random.default_rng(seed + 100)
+    kw = {"seq_mask": np.ones((B, T), np.float32)}
+    for f in _ID_FIELDS:
+        v = (N_ITEMS if "item" in f else N_CATS)
+        hi = v // S if skew else v
+        kw[f] = rng.integers(0, hi,
+                             np.asarray(getattr(b, f)).shape).astype(np.int32)
+    return to_device_arrays(dataclasses.replace(b, **kw))
+
+
+@pytest.mark.parametrize("factory_name", ["shardmap_bom", "gspmd"])
+def test_overflow_counter_in_metrics(factory_name):
+    """The psum'd bucket-overflow flag surfaces as metrics['a2a_overflow']
+    (VERDICT r4 weak #2): 1.0 on a batch whose skewed ids force the
+    all_gather+psum fallback, 0.0 on a uniform batch, and SUMMED across a
+    k=2 fused dispatch (one of each -> 1.0) — on both the shard_map
+    batch_over_model step and the GSPMD replicated-ids a2a step."""
+    import optax
+
+    from hpmn_tpu.parallel import make_sharded_steps
+
+    mesh = make_mesh(model_parallel=S, devices=jax.devices()[:8])
+    cfg = get_config("amazon_hpmn")
+    cfg.model.hpmn_layers = 2
+    cfg.train.steps_per_dispatch = 1
+    cfg.mesh.embedding_mode = "a2a"
+    cfg.mesh.a2a_capacity_factor = 3.0  # headroom for the uniform batch
+    bom = factory_name == "shardmap_bom"
+    cfg.mesh.batch_over_model = bom
+    factory = make_shardmap_steps if bom else make_sharded_steps
+    over = ("data", "model") if bom else ("data",)
+    tx = optax.sgd(1e-2)
+    params = init_sharded_model(jax.random.key(0), cfg, N_ITEMS, N_CATS,
+                                mesh)
+    opt0 = jax.device_put(tx.init(params),
+                          param_shardings(mesh, tx.init(params)))
+    step = factory(cfg, tx, mesh)[0](params, opt0)
+
+    def metrics_of(step_fn, batch):
+        # fresh copies per call: the GSPMD step donates params/opt_state
+        p = jax.tree.map(jnp.copy, params)
+        o = jax.tree.map(jnp.copy, opt0)
+        return step_fn(p, o, batch)[2]
+
+    uniform = _regime_batch(16, 12, skew=False, seed=1)
+    skewed = _regime_batch(16, 12, skew=True, seed=1)
+    m_u = metrics_of(step, shard_batch(mesh, uniform, over=over))
+    assert float(m_u["a2a_overflow"]) == 0.0
+    m_s = metrics_of(step, shard_batch(mesh, skewed, over=over))
+    assert float(m_s["a2a_overflow"]) == 1.0
+
+    cfg.train.steps_per_dispatch = 2
+    stepk = factory(cfg, tx, mesh)[0](params, opt0)
+    stack = jax.tree.map(lambda *xs: jnp.stack([np.asarray(x) for x in xs]),
+                         *[skewed, uniform])
+    m_k = metrics_of(stepk, shard_batch(mesh, stack, stacked=True,
+                                        over=over))
+    assert float(m_k["a2a_overflow"]) == 1.0  # counter: 1 of 2 steps
+
+
+def test_overflow_counter_through_driver():
+    """train() surfaces the counter in the log line (uniform synthetic ids
+    -> stays 0) — the driver-side accumulation path."""
+    from hpmn_tpu.train.train import train
+
+    cfg = get_config("amazon_hpmn")
+    cfg.n_examples = 400
+    cfg.model.hpmn_layers = 1
+    cfg.train.batch_size = 16
+    cfg.train.max_steps = 4
+    cfg.train.eval_every = 4
+    cfg.train.log_every = 2
+    cfg.train.steps_per_dispatch = 1
+    cfg.eval_steps_per_dispatch = 1  # pin: config ships measured knees
+    cfg.eval_batch_size = 16
+    cfg.mesh.model_parallel = S  # 8 fake devices -> (data 2, model 4)
+    logs = []
+    train(cfg, log=logs.append)
+    assert any("a2a_overflow_steps 0" in s for s in logs), logs
+
+
+def test_derive_capacity_factor():
+    """Auto f (mesh.a2a_capacity_factor=0): uniform ids derive a modest
+    factor; fully-skewed ids derive ~margin*S (every query lands on one
+    owner); and the derived capacity admits the sampled slices without
+    overflow."""
+    from hpmn_tpu.parallel.embedding_sharding import derive_capacity_factor
+
+    rng = np.random.default_rng(0)
+    rows_per = N_ITEMS // S
+    uniform = rng.integers(0, N_ITEMS, size=20000)
+    skewed = rng.integers(0, rows_per, size=20000)  # all owner 0
+    f_u = derive_capacity_factor([(uniform, rows_per)], S, [8, 96])
+    f_s = derive_capacity_factor([(skewed, rows_per)], S, [8, 96])
+    assert f_u < f_s
+    assert f_s >= S  # one owner absorbs everything -> factor ~ margin*S
+    assert 1.1 <= f_u <= 3.5  # modest for uniform ids at these sizes
+    # the derived capacity admits the worst sampled slice
+    for f, ids in ((f_u, uniform), (f_s, skewed)):
+        for n in (8, 96):
+            cap = _capacity(n, S, f)
+            for _ in range(16):
+                sl = rng.choice(ids // rows_per, size=n)
+                assert np.bincount(sl, minlength=S).max() <= cap
+
+
+def test_driver_resolves_capacity_factor():
+    """cfg.mesh.a2a_capacity_factor=0 (shipped) resolves at train startup
+    from the dataset arrays and is logged; the resolved value feeds the
+    built steps."""
+    from hpmn_tpu.train.train import train
+
+    cfg = get_config("amazon_hpmn")
+    cfg.n_examples = 400
+    cfg.model.hpmn_layers = 1
+    cfg.train.batch_size = 16
+    cfg.train.max_steps = 2
+    cfg.train.eval_every = 2
+    cfg.train.log_every = 10 ** 9
+    cfg.train.steps_per_dispatch = 1
+    cfg.eval_steps_per_dispatch = 1  # pin: config ships measured knees
+    cfg.eval_batch_size = 16
+    cfg.mesh.model_parallel = S
+    assert float(cfg.mesh.a2a_capacity_factor) == 0.0  # shipped auto
+    logs = []
+    train(cfg, log=logs.append)
+    assert any("derived a2a_capacity_factor=" in s for s in logs), logs
+    assert float(cfg.mesh.a2a_capacity_factor) >= 1.1

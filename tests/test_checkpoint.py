@@ -129,6 +129,7 @@ def test_train_resume_continues_from_restored_step(tmp_path, monkeypatch):
     cfg.model.hpmn_layers = 1
     cfg.train.batch_size = 16
     cfg.train.steps_per_dispatch = 1  # step-exact resume (config ships k=64)
+    cfg.eval_steps_per_dispatch = 1  # pin (config ships auto)
     cfg.train.max_steps = 6
     cfg.train.eval_every = 3
     cfg.train.log_every = 1000
@@ -177,6 +178,7 @@ def test_resume_with_ema_opt_state(tmp_path):
         cfg.train.eval_every = 3
         cfg.train.log_every = 1000
         cfg.train.ema_decay = 0.9
+        cfg.eval_steps_per_dispatch = 1  # pin (config ships auto)
         cfg.train.ckpt_dir = str(tmp_path / "ckpt")
         return cfg
 
@@ -228,6 +230,7 @@ def test_sigkill_mid_run_resumes_to_identical_result(tmp_path):
                 # (within ONE run, resume reuses the probed k via the
                 # ckpt-dir sidecar — tested separately)
                 "train.steps_per_dispatch=1",
+                "eval_steps_per_dispatch=1",
                 "train.max_steps=60", "train.eval_every=20",
                 "train.log_every=1000000", "mesh.enable=False",
                 f"train.ckpt_dir={ckpt}",

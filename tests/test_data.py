@@ -198,6 +198,7 @@ def test_realistic_vocab_end_to_end(tmp_path):
     cfg.train.eval_every = 3
     cfg.train.log_every = 10 ** 9
     cfg.eval_batch_size = 64
+    cfg.eval_steps_per_dispatch = 1  # pin (config ships auto)
     cfg.model.name = "dnn"  # cheapest encoder; the point is the data path
     res = train(cfg, log=lambda s: None)
     assert res["params"]["embedding"]["item"].shape[0] == V

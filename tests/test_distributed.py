@@ -131,6 +131,7 @@ cfg = get_config("amazon_hpmn")
 cfg.n_examples = 600
 cfg.model.hpmn_layers = 1
 cfg.train.steps_per_dispatch = 1  # 6-step mini run (config ships k=64)
+cfg.eval_steps_per_dispatch = 1  # pin (config ships auto)
 cfg.train.batch_size = 8   # per host -> global 16 over the 2x2 mesh
 cfg.eval_batch_size = 16
 cfg.train.max_steps = 6
@@ -139,6 +140,15 @@ cfg.train.log_every = 10**9
 res = train(cfg, log=lambda s: None)
 print(f"proc {pid} train_auc {res['test']['auc']:.10f} "
       f"n {res['test']['n']:.0f}")
+
+# MULTI-HOST chained eval (VERDICT r4 next #1a): ke=2 stacks the per-host
+# shard-local row extraction across the k group; metrics must equal the
+# per-batch run BIT-exactly on every host.
+cfg.eval_steps_per_dispatch = 2
+res_ke = train(cfg, log=lambda s: None)
+assert res_ke['test'] == res['test'], (res_ke['test'], res['test'])
+print(f"proc {pid} chained_eval_auc {res_ke['test']['auc']:.10f}")
+cfg.eval_steps_per_dispatch = 1
 
 # Same run through the PRODUCTION streaming-eval path (histogram AUC with
 # the cross-host int31-split merge in evaluate._evaluate_streaming): the
@@ -170,11 +180,14 @@ print(f"proc {pid} streameval_gauc {res_s['test']['gauc']:.10f}")
 # resolve the same k.
 cfg.eval_streaming_bins = 0
 cfg.train.steps_per_dispatch = 0  # auto: run the startup ladder probe
+cfg.eval_steps_per_dispatch = 0  # auto: eval ladder probes too (r5)
 cfg.train.max_steps = 4
 cfg.train.eval_every = 4
 res_p = train(cfg, log=lambda s: None)
 assert cfg.train.steps_per_dispatch >= 1
-print(f"proc {pid} probe_k {cfg.train.steps_per_dispatch}")
+assert cfg.eval_steps_per_dispatch >= 1
+print(f"proc {pid} probe_k {cfg.train.steps_per_dispatch}"
+      f"/{cfg.eval_steps_per_dispatch}")
 print(f"proc {pid} OK")
 """
 
@@ -390,7 +403,12 @@ def test_two_process_mesh(tmp_path):
     # over the full (un-duplicated) test set.
     assert len(train_aucs) == 1, train_aucs
     assert ns == {"60"}, ns  # 10% of 600 examples, counted once
-    # Autotune probe leg: both hosts ran the ladder and chose the same k.
+    # Autotune probe leg: both hosts ran the ladders (train AND eval) and
+    # chose the same k/ke.
     probe_ks = {ln.split()[-1] for o in outs for ln in o.splitlines()
                 if "probe_k" in ln}
     assert len(probe_ks) == 1, probe_ks
+    # Chained multi-host eval: identical metrics on both hosts.
+    ce = {ln.split()[-1] for o in outs for ln in o.splitlines()
+          if "chained_eval_auc" in ln}
+    assert len(ce) == 1, ce

@@ -270,6 +270,7 @@ def test_train_driver_routes_seq_parallel():
 
     cfg = get_config("amazon_hpmn")
     cfg.train.steps_per_dispatch = 1  # single-step test (config ships k=64)
+    cfg.eval_steps_per_dispatch = 1  # pin (config ships auto)
     cfg.n_examples = 1200
     cfg.train.batch_size = 64
     cfg.train.max_steps = 30

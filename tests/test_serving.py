@@ -300,6 +300,7 @@ def test_train_to_serve_pipeline(tmp_path):
     cfg.n_examples = 2000
     cfg.train.batch_size = 64
     cfg.train.steps_per_dispatch = 1  # 30-step mini run (config ships k=64)
+    cfg.eval_steps_per_dispatch = 1  # pin (config ships auto)
     cfg.train.max_steps = 30
     cfg.train.eval_every = 30
     cfg.train.log_every = 10 ** 9
@@ -415,6 +416,7 @@ def test_export_bundle_cli(tmp_path):
     cfg.n_examples = 1500
     cfg.train.batch_size = 64
     cfg.train.steps_per_dispatch = 1  # 30-step mini run (config ships k=64)
+    cfg.eval_steps_per_dispatch = 1  # pin (config ships auto)
     cfg.train.max_steps = 30
     cfg.train.eval_every = 15
     cfg.train.log_every = 10 ** 9

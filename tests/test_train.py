@@ -22,10 +22,12 @@ def _small_cfg(name="amazon_hpmn", **over):
     cfg.train.eval_every = 100
     cfg.train.log_every = 1000
     cfg.train.early_stop_patience = 100
-    # pin the dispatch shape: the configs ship measured k>1 throughput
-    # optima (BASELINE.md matrix), but this harness locks a fixed-seed
-    # 200-step trajectory — k changes step grouping past max_steps
+    # pin the dispatch shapes: the configs ship autotuned (0) train and
+    # eval dispatch chaining, but this harness locks a fixed-seed
+    # 200-step trajectory — probing would compile ladders and a
+    # timing-derived k changes step grouping
     cfg.train.steps_per_dispatch = 1
+    cfg.eval_steps_per_dispatch = 1
     for k, v in over.items():
         parts = k.split(".")
         ref = cfg
@@ -401,6 +403,57 @@ def test_autotune_steps_per_dispatch():
         assert any("autotuned steps_per_dispatch=" in s for s in logs), logs
         assert 1 <= cfg.train.steps_per_dispatch <= 12
         assert np.isfinite(res["test"]["log_loss"])
+
+
+@pytest.mark.slow
+def test_autotune_eval_steps_per_dispatch():
+    """eval_steps_per_dispatch=0 (the configs' shipped 'auto', r5) probes
+    the eval ladder at startup — capped by the eval epoch's batch count —
+    resolves a valid ke, and the trained metrics equal a pinned-ke=1 run
+    exactly (eval chaining is bitwise-identical by construction)."""
+    for mesh_enable in (True, False):
+        cfg = _small_cfg(**{"train.max_steps": 24, "train.eval_every": 12})
+        cfg.mesh.enable = mesh_enable
+        cfg.eval_steps_per_dispatch = 0
+        logs = []
+        res = train(cfg, log=logs.append)
+        assert any("autotuned eval_steps_per_dispatch=" in s
+                   for s in logs), logs
+        # val split: 300 examples / eval_batch 256 -> 2-batch epoch cap
+        assert 1 <= cfg.eval_steps_per_dispatch <= 2
+        ref_cfg = _small_cfg(**{"train.max_steps": 24,
+                                "train.eval_every": 12})
+        ref_cfg.mesh.enable = mesh_enable
+        ref = train(ref_cfg, log=lambda s: None)  # pinned ke=1
+        assert res["history"] == ref["history"]
+        assert res["test"] == ref["test"]
+
+
+@pytest.mark.slow
+def test_autotune_eval_sidecar_reuse(tmp_path):
+    """Both probed knees persist in ONE autotune sidecar; a relaunched run
+    reuses both without re-probing."""
+    cfg = _small_cfg(**{"train.max_steps": 24, "train.eval_every": 12,
+                        "train.ckpt_dir": str(tmp_path / "ck")})
+    cfg.train.steps_per_dispatch = 0
+    cfg.eval_steps_per_dispatch = 0
+    logs = []
+    train(cfg, log=logs.append)
+    assert any("autotuned eval_steps_per_dispatch=" in s for s in logs)
+    chosen = (cfg.train.steps_per_dispatch, cfg.eval_steps_per_dispatch)
+
+    cfg2 = _small_cfg(**{"train.max_steps": 24, "train.eval_every": 12,
+                         "train.ckpt_dir": str(tmp_path / "ck")})
+    cfg2.train.steps_per_dispatch = 0
+    cfg2.eval_steps_per_dispatch = 0
+    logs2 = []
+    train(cfg2, log=logs2.append)
+    assert any("reusing autotuned steps_per_dispatch=" in s for s in logs2)
+    assert any("reusing autotuned eval_steps_per_dispatch=" in s
+               for s in logs2), logs2
+    assert not any("ms/step:" in s or "ms/batch:" in s for s in logs2)
+    assert (cfg2.train.steps_per_dispatch,
+            cfg2.eval_steps_per_dispatch) == chosen
 
 
 @pytest.mark.slow

@@ -56,6 +56,8 @@ def main():
         if cfg.train.steps_per_dispatch == 0:
             # quality comparison: skip the throughput autotune probe
             cfg.train.steps_per_dispatch = 1
+        if cfg.eval_steps_per_dispatch == 0:
+            cfg.eval_steps_per_dispatch = 1
         res = train(cfg, log=lambda s: None)
         results[name] = res
         print(f"{name:>8}: test AUC {res['test']['auc']:.4f}  "

@@ -53,6 +53,8 @@ def main(argv=None):
         if cfg.train.steps_per_dispatch == 0:
             # quality sweep: skip the per-trial throughput autotune probe
             cfg.train.steps_per_dispatch = 1
+        if cfg.eval_steps_per_dispatch == 0:
+            cfg.eval_steps_per_dispatch = 1
         res = train(cfg, log=lambda s: None)
         row = {"trial": dict(point),
                "best_val_auc": res["best_val_auc"],
