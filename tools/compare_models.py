@@ -54,10 +54,18 @@ def main():
         cfg.train.early_stop_patience = 10 ** 9
         cfg.model.use_pallas = args.use_pallas
         if cfg.train.steps_per_dispatch == 0:
-            # quality comparison: skip the throughput autotune probe
-            cfg.train.steps_per_dispatch = 1
+            # quality comparison: skip the per-model autotune probes and
+            # take the tunnel-measured knee (fused steps are bitwise
+            # identical to k=1, so the trajectory is unchanged; this just
+            # makes the 10-model on-chip protocol run ~10x cheaper)
+            from hpmn_tpu.configs.base import MEASURED_DISPATCH_KNEES
+
+            cfg.train.steps_per_dispatch = MEASURED_DISPATCH_KNEES.get(
+                base, 8)
         if cfg.eval_steps_per_dispatch == 0:
-            cfg.eval_steps_per_dispatch = 1
+            from hpmn_tpu.configs.base import MEASURED_EVAL_KNEES
+
+            cfg.eval_steps_per_dispatch = MEASURED_EVAL_KNEES.get(base, 1)
         res = train(cfg, log=lambda s: None)
         results[name] = res
         print(f"{name:>8}: test AUC {res['test']['auc']:.4f}  "
