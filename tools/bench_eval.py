@@ -9,8 +9,18 @@ Timing per CLAUDE.md: evaluate() ends in host-side metric math over pulled
 arrays (a synchronizing dependency on every logit); distinct batches are
 inherent (the loader walks the eval split).
 
+``--processes N`` (r5, VERDICT r4 next #1) measures the MULTI-HOST regime
+— the one where the r4 chaining win used to evaporate behind the
+``process_count == 1`` gate: N OS processes under
+``jax.distributed.initialize`` (1 virtual CPU device each), per-host
+DataLoader shards, the production sharded eval step
+(``make_sharded_steps``), and the cross-host metric merge inside the
+timed epoch. The same flag measures real multi-host hardware the moment
+it exists (drop the implied --force_cpu by editing env below).
+
 Usage: python tools/bench_eval.py [--config xlong_hpmn]
          [--ks 1,4,8,16] [--n_examples 40000] [--repeats 3]
+         [--processes 2]
 """
 
 import argparse
@@ -21,11 +31,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import jax  # noqa: E402
-import numpy as np  # noqa: E402
 
-
-def main(argv=None):
+def build_args():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="xlong_hpmn")
     ap.add_argument("--ks", default="1,4,8,16")
@@ -34,32 +41,63 @@ def main(argv=None):
     ap.add_argument("--streaming", action="store_true",
                     help="bench the streaming-estimator path instead")
     ap.add_argument("--force_cpu", action="store_true")
-    args = ap.parse_args(argv)
-    if args.force_cpu:
-        jax.config.update("jax_platforms", "cpu")
+    ap.add_argument("--processes", type=int, default=1,
+                    help="multi-host-sim: N OS processes, per-host loader "
+                         "shards, cross-host merges inside the timed epoch")
+    ap.add_argument("--worker", type=int, default=-1, help=argparse.SUPPRESS)
+    ap.add_argument("--port", type=int, default=0, help=argparse.SUPPRESS)
+    return ap
+
+
+def run_sweep(args):
+    """Time one eval-epoch k sweep in THIS process (single- or multi-host;
+    under multi-host every process runs this in lockstep)."""
+    import jax
 
     from hpmn_tpu.configs import get_config
     from hpmn_tpu.data.loader import DataLoader
-    from hpmn_tpu.models import init_model
     from hpmn_tpu.train.evaluate import evaluate
     from hpmn_tpu.train.train import (make_datasets, make_eval_step,
-                                      make_fused_eval)
+                                      make_fused_eval, make_optimizer)
 
     cfg = get_config(args.config)
     cfg.n_examples = args.n_examples
+    pidx, pcnt = jax.process_index(), jax.process_count()
     _, val_arrays, _, spec = make_datasets(cfg)
-    loader = DataLoader(val_arrays, cfg.eval_batch_size, shuffle=False)
-    params = init_model(jax.random.key(0), cfg, spec.n_items, spec.n_cats)
-    eval_step = make_eval_step(cfg)
-    n = len(val_arrays["label"])
+    loader = DataLoader(val_arrays, cfg.eval_batch_size, shuffle=False,
+                        process_index=pidx, process_count=pcnt)
+    if pcnt > 1:
+        # The production multi-host shape: sharded eval step over the mesh,
+        # per-host batch assembly (shard_batch -> process-local data), the
+        # stacked shard-local row extraction, cross-host metric merge.
+        from hpmn_tpu.models import init_model  # noqa: F401 (spec parity)
+        from hpmn_tpu.parallel import (init_sharded_model, make_mesh,
+                                       make_sharded_steps, shard_batch)
+
+        mesh = make_mesh(1)
+        params = init_sharded_model(jax.random.key(0), cfg, spec.n_items,
+                                    spec.n_cats, mesh)
+        _, jit_eval = make_sharded_steps(cfg, make_optimizer(cfg), mesh)
+        _es = jit_eval(params)
+        eval_step = lambda p, b: _es(p, shard_batch(mesh, b))
+        _fe = jit_eval.fused(params)
+        fused_any = lambda p, bs: _fe(p, shard_batch(mesh, bs, stacked=True))
+    else:
+        from hpmn_tpu.models import init_model
+
+        params = init_model(jax.random.key(0), cfg, spec.n_items, spec.n_cats)
+        eval_step = make_eval_step(cfg)
+        fused_any = make_fused_eval(cfg)
+    n = None  # global eval-set size, read off the first evaluate() result
     sb = 4096 if args.streaming else 0
 
     results = {}
     for k in [int(x) for x in args.ks.split(",")]:
-        fused = make_fused_eval(cfg) if k > 1 else None
+        fused = fused_any if k > 1 else None
         # warmup compile outside the timed repeats
-        evaluate(eval_step, params, loader, streaming_bins=sb,
-                 fused_eval=fused, steps_per_dispatch=k)
+        out = evaluate(eval_step, params, loader, streaming_bins=sb,
+                       fused_eval=fused, steps_per_dispatch=k)
+        n = int(out["n"])
         times = []
         for _ in range(args.repeats):
             t0 = time.time()
@@ -68,14 +106,69 @@ def main(argv=None):
             times.append(time.time() - t0)
         dt = min(times)
         results[k] = n / dt
-        print(f"k={k:3d}: {dt * 1e3:8.1f} ms/epoch, "
-              f"{n / dt:10.1f} eval ex/s  (auc {out['auc']:.4f})",
-              file=sys.stderr)
-    print(json.dumps({"metric": "eval_throughput", "config": args.config,
-                      "eval_batch_size": cfg.eval_batch_size, "n_eval": n,
-                      "streaming": bool(sb),
-                      **{f"k{k}_ex_per_sec": round(v, 1)
-                         for k, v in results.items()}}))
+        if pidx == 0:
+            print(f"k={k:3d}: {dt * 1e3:8.1f} ms/epoch, "
+                  f"{n / dt:10.1f} eval ex/s  (auc {out['auc']:.4f})",
+                  file=sys.stderr)
+    if pidx == 0:
+        print(json.dumps({
+            "metric": "eval_throughput", "config": args.config,
+            "eval_batch_size": cfg.eval_batch_size, "n_eval": n,
+            "processes": pcnt, "streaming": bool(sb),
+            **{f"k{k}_ex_per_sec": round(v, 1) for k, v in results.items()}}))
+
+
+def spawn_processes(args):
+    """Parent: N workers re-exec this file under jax.distributed (CPU,
+    1 virtual device per process) and rank 0's output is relayed."""
+    import subprocess
+
+    import portpicker
+
+    port = portpicker.pick_unused_port()
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=1")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--worker", str(r), "--port", str(port),
+             "--processes", str(args.processes),
+             "--config", args.config, "--ks", args.ks,
+             "--n_examples", str(args.n_examples),
+             "--repeats", str(args.repeats)]
+            + (["--streaming"] if args.streaming else []),
+            env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE if r else None, text=True)
+        for r in range(args.processes)]
+    outs = [p.communicate(timeout=1800) for p in procs]
+    for r, p in enumerate(procs):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"worker {r} failed:\n{(outs[r][1] or '')[-2000:]}"
+                f"\n{outs[r][0][-2000:]}")
+    sys.stdout.write(outs[0][0])
+
+
+def main(argv=None):
+    args = build_args().parse_args(argv)
+    if args.worker >= 0:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from hpmn_tpu.parallel.distributed import initialize
+
+        initialize(coordinator_address=f"127.0.0.1:{args.port}",
+                   num_processes=args.processes, process_id=args.worker)
+        run_sweep(args)
+        return
+    if args.processes > 1:
+        spawn_processes(args)
+        return
+    if args.force_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    run_sweep(args)
 
 
 if __name__ == "__main__":
