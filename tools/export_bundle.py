@@ -120,8 +120,9 @@ def main(argv=None):
                                else None)
     os.makedirs(args.out, exist_ok=True)
     store.save_bundle(args.out, **bundle_kw)
+    kind = "memory" if isinstance(store, UserMemoryStore) else "history"
     print(f"exported step {step} -> {args.out} "
-          f"(store={'memory' if cfg.model.name == 'hpmn' else 'history'}, "
+          f"(store={kind}, "
           f"n_users={store.n_users}, quantized={args.quantize}, "
           f"ema={args.ema}, aot={args.export_compiled})")
 
