@@ -48,6 +48,7 @@ class DataLoader:
         self.n = arrays["label"].shape[0]
         self.global_batch = batch_size * process_count
         self._offset = process_index * batch_size
+        self._process_count = process_count
         # Per-host static shard of the example axis (eval: one_epoch).
         self._local_idx = np.arange(process_index, self.n, process_count)
         if shuffle and drop_remainder and self.n < self.global_batch:
@@ -91,23 +92,39 @@ class DataLoader:
             self.epoch += 1
             self.step = 0
 
+    def epoch_batches(self) -> int:
+        """Number of (batch, n_valid) pairs ``one_epoch`` yields — the SAME
+        on every host (a pure function of the GLOBAL example count): each
+        eval batch is one global SPMD dispatch, so a host running fewer
+        batches than its peers would leave them blocked in a collective
+        forever. ceil(ceil(n / P) / B) = the largest host shard's count;
+        shorter hosts pad whole batches with n_valid = 0 (scored,
+        discarded)."""
+        if self.n == 0:
+            return 0
+        max_local = -(-self.n // self._process_count)
+        return -(-max_local // self.batch_size)
+
     def one_epoch(self) -> Iterator[Batch]:
         """Iterate this host's shard of the current epoch once, without
         shuffling state changes.
 
-        Used for eval: yields possibly a final short batch padded to full
-        ``batch_size`` with ``pad_count`` attached via a (batch, n_valid) tuple.
+        Used for eval: yields exactly :meth:`epoch_batches` pairs
+        ``(batch, n_valid)``; short/empty trailing batches are padded to
+        full ``batch_size`` (n_valid marks the real rows) so every host
+        issues the identical global dispatch sequence even when the eval
+        set doesn't divide evenly across hosts.
         """
         order = self._local_idx
         n = len(order)
-        for lo in range(0, n, self.batch_size):
-            idx = order[lo:lo + self.batch_size]
+        fill = order[-1:] if n else np.zeros(1, dtype=np.int64)
+        for b in range(self.epoch_batches()):
+            idx = order[b * self.batch_size:(b + 1) * self.batch_size]
             n_valid = len(idx)
             if n_valid < self.batch_size:
-                pad = np.concatenate([idx, np.repeat(idx[-1:], self.batch_size - n_valid)])
-                yield batch_from_numpy(self.arrays, pad), n_valid
-            else:
-                yield batch_from_numpy(self.arrays, idx), n_valid
+                idx = np.concatenate(
+                    [idx, np.repeat(fill, self.batch_size - n_valid)])
+            yield batch_from_numpy(self.arrays, idx), n_valid
 
     # --- checkpointable iterator position (SURVEY.md §5.4) ---
     def state_dict(self) -> Dict[str, int]:

@@ -150,15 +150,21 @@ def derive_capacity_factor(tables, n_shards: int, slice_sizes,
     (config value 0 = auto, resolved at train startup).
 
     ``tables``: [(ids, rows_per)] pairs — a representative numpy sample of
-    the ids one table will be queried with, and that table's per-shard row
-    count. ``slice_sizes``: the per-shard query counts the production step
-    issues per exchange call (targets ~B_shard, sequences ~B_shard*T — the
-    SMALL calls dominate the needed factor, since relative per-owner
-    imbalance grows as N shrinks). For each (table, size) this draws
-    ``n_draws`` random slices, measures max-owner-count / balanced-load,
-    and returns ``margin`` x the worst ratio (floored at ``f_min``).
-    Deterministic (seeded), host-side numpy — multi-host runs derive the
-    identical value from the identical dataset arrays.
+    the ids one table will be queried with (sequence ids flattened
+    row-major, so each user's T ids stay contiguous), and that table's
+    per-shard row count. ``slice_sizes``: the per-shard query counts the
+    production step issues per exchange call (targets ~B_shard, sequences
+    ~B_shard*T — the SMALL calls dominate the needed factor, since
+    relative per-owner imbalance grows as N shrinks). For each (table,
+    size) this draws ``n_draws`` CONTIGUOUS windows — the production
+    slices are contiguous example blocks (a shard's own [ex, T] rows, or
+    a 1/S dynamic_slice chunk), and within-user id repetition under
+    contiguous row ownership concentrates owners far beyond what i.i.d.
+    draws from the pooled sample would measure — takes
+    max-owner-count / balanced-load per window, and returns ``margin`` x
+    the worst ratio (floored at ``f_min``). Deterministic (seeded),
+    host-side numpy — multi-host runs derive the identical value from the
+    identical dataset arrays.
 
     The margin covers sampling noise; a production run still has the exact
     fallback + the ``a2a_overflow`` metric if the online distribution
@@ -180,8 +186,9 @@ def derive_capacity_factor(tables, n_shards: int, slice_sizes,
                 continue
             balanced = -(-n // n_shards)
             for _ in range(n_draws):
-                sl = rng.choice(owners, size=n,
-                                replace=len(owners) < n * 2)
+                start = int(rng.integers(0, len(owners) - n + 1)) \
+                    if len(owners) > n else 0
+                sl = owners[start:start + n]
                 top = np.bincount(sl, minlength=n_shards).max()
                 worst = max(worst, top / balanced)
     return max(f_min, margin * worst) if worst else 2.0
@@ -301,6 +308,24 @@ def _owned_gather_a2a(table: jax.Array, ids: jax.Array, axis: str,
     return jax.lax.all_gather(my_rows, axis, axis=0, tiled=True)
 
 
+def replicated_ids_overflow(table: jax.Array, flat: jax.Array, *,
+                            axis: str, n_shards: int,
+                            capacity_factor: float) -> jax.Array:
+    """Overflow flag for ONE replicated-ids a2a exchange: the SAME
+    pad / chunk / dynamic_slice bucketing :func:`_owned_gather_a2a` runs
+    (one shared implementation so the flag can never describe a different
+    bucketing than the exchange actually executes; XLA CSE folds the two
+    sorts). Scalar int32, mesh-wide over ``axis``."""
+    pad = (-flat.shape[0]) % n_shards
+    padded = jnp.pad(flat, (0, pad))
+    chunk = padded.shape[0] // n_shards
+    shard = jax.lax.axis_index(axis)
+    my_ids = jax.lax.dynamic_slice(padded, (shard * chunk,), (chunk,))
+    return exchange_overflow(
+        my_ids, axis=axis, n_shards=n_shards, rows_per=table.shape[0],
+        capacity=_capacity(chunk, n_shards, capacity_factor))
+
+
 def local_bucketed_lookup_fn(n_shards: int, capacity_factor: float = 2.0,
                              table_grad_scale: float = 1.0) -> Callable:
     """Collective lookup for batch-over-model shard_map steps: ids are THIS
@@ -356,18 +381,9 @@ def local_lookup_fn(n_shards: int, mode: str = "psum",
     """
 
     def _flag(table, flat):
-        """a2a overflow flag for the replicated-ids contract: each shard
-        exchanges for its 1/S chunk of the padded id list (mirrors
-        _owned_gather_a2a's slicing exactly)."""
-        pad = (-flat.shape[0]) % n_shards
-        padded = jnp.pad(flat, (0, pad))
-        chunk = padded.shape[0] // n_shards
-        shard = jax.lax.axis_index(MODEL_AXIS)
-        my_ids = jax.lax.dynamic_slice(padded, (shard * chunk,), (chunk,))
-        return exchange_overflow(
-            my_ids, axis=MODEL_AXIS, n_shards=n_shards,
-            rows_per=table.shape[0],
-            capacity=_capacity(chunk, n_shards, capacity_factor))
+        return replicated_ids_overflow(
+            table, flat, axis=MODEL_AXIS, n_shards=n_shards,
+            capacity_factor=capacity_factor)
 
     @jax.custom_vjp
     def one_table_flat(table, flat):
@@ -446,19 +462,13 @@ def make_sharded_lookup(mesh: Mesh, mode: str = "psum",
         return out.reshape(*ids.shape, table.shape[-1])
 
     def table_flag(table, flat):
-        """[1] int32 overflow flag for one replicated-ids a2a exchange
-        (mirrors _owned_gather_a2a's per-shard slicing); 0 under psum."""
+        """[1] int32 overflow flag (:func:`replicated_ids_overflow`);
+        0 under psum."""
         if mode != "a2a":
             return jnp.zeros((1,), jnp.int32)
-        pad = (-flat.shape[0]) % n_shards
-        padded = jnp.pad(flat, (0, pad))
-        chunk = padded.shape[0] // n_shards
-        shard = jax.lax.axis_index(MODEL_AXIS)
-        my_ids = jax.lax.dynamic_slice(padded, (shard * chunk,), (chunk,))
-        return exchange_overflow(
-            my_ids, axis=MODEL_AXIS, n_shards=n_shards,
-            rows_per=table.shape[0],
-            capacity=_capacity(chunk, n_shards, capacity_factor))[None]
+        return replicated_ids_overflow(
+            table, flat, axis=MODEL_AXIS, n_shards=n_shards,
+            capacity_factor=capacity_factor)[None]
 
     @functools.partial(
         jax.shard_map, mesh=mesh,

@@ -232,6 +232,44 @@ def make_eval_step(cfg, lookup_fn=None, gru_seq_fn=None) -> Callable:
     return eval_step
 
 
+def _run_ladder(time_fn: Callable, cap: int, tol: float, flat_stop: int):
+    """Geometric-k ladder with flat-stop early exit (shared by the train
+    and eval dispatch probes — ONE implementation so the two can't drift):
+    times k = 1, 2, 4, ... <= cap via ``time_fn(k) -> seconds/step`` and
+    stops once ``flat_stop`` consecutive rungs fail to beat the best prior
+    time by more than ``tol`` (past the knee the curve is flat and each
+    rung costs a full compile). Returns (ladder {k: t}, flat count)."""
+    ladder, k, flat = {}, 1, 0
+    while k <= cap:
+        t = ladder[k] = time_fn(k)
+        prior = [ladder[kk] for kk in ladder if kk < k]
+        if prior and t > min(prior) * (1 - tol):
+            # this rung did not beat the prior best by > tol
+            flat += 1
+            if flat >= flat_stop:
+                break
+        else:
+            flat = 0
+        k *= 2
+    return ladder, flat
+
+
+def _ladder_choice(ladder: Dict, tol: float) -> int:
+    """Smallest k within ``tol`` of the ladder's best time; on multi-host
+    the choice is broadcast from process 0 so all hosts build identical
+    programs even if clocks disagreed."""
+    import numpy as np
+
+    best_t = min(ladder.values())
+    choice = min(kk for kk, t in ladder.items() if t <= best_t * (1 + tol))
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        choice = int(multihost_utils.broadcast_one_to_all(
+            np.asarray(choice, np.int32)))
+    return choice
+
+
 def probe_steps_per_dispatch(cfg, build_train, params, opt_state, spec,
                              log: Callable[[str], None] = print,
                              tol: float = 0.03, repeats: int = 2,
@@ -309,28 +347,11 @@ def probe_steps_per_dispatch(cfg, build_train, params, opt_state, spec,
     # restore it even when a rung raises mid-ladder, so the caller never
     # sees a half-probed config (ADVICE r4).
     saved_k = cfg.train.steps_per_dispatch
-    ladder, k, flat = {}, 1, 0
     try:
-        while k <= cap:
-            t = ladder[k] = time_k(k)
-            prior = [ladder[kk] for kk in ladder if kk < k]
-            if prior and t > min(prior) * (1 - tol):
-                # this rung did not beat the prior best by > tol
-                flat += 1
-                if flat >= flat_stop:
-                    break
-            else:
-                flat = 0
-            k *= 2
+        ladder, flat = _run_ladder(time_k, cap, tol, flat_stop)
     finally:
         cfg.train.steps_per_dispatch = saved_k
-    best_t = min(ladder.values())
-    choice = min(kk for kk, t in ladder.items() if t <= best_t * (1 + tol))
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        choice = int(multihost_utils.broadcast_one_to_all(
-            np.asarray(choice, np.int32)))
+    choice = _ladder_choice(ladder, tol)
     capped = (flat < flat_stop and max(ladder) < 64
               and max(ladder) * 2 > cap)
     log("autotuned steps_per_dispatch=" + str(choice) + " (ms/step: "
@@ -358,53 +379,45 @@ def probe_eval_steps_per_dispatch(cfg, eval_step, fused_eval, params, spec,
     The ladder is capped by the eval epoch's per-host batch count: fusing
     more batches than an epoch holds only pads the trailing group with
     discarded work (the r4 xlong measurement: k=16 REGRESSED on a 16-batch
-    epoch). Multi-host: every host runs the identical ladder and the
-    choice is broadcast from process 0."""
+    epoch). Multi-host: the cap must be HOST-INVARIANT
+    (``DataLoader.epoch_batches``, not a local count — hosts on different
+    rungs deadlock in the global fused dispatch); every host runs the
+    identical ladder and the choice is broadcast from process 0. Output
+    pulls go through the production row extraction
+    (``evaluate._local_rows*``) — the raw array may span non-addressable
+    devices under the sharded eval steps."""
     import numpy as np
 
     from ..data.schema import dummy_batch
+    from .evaluate import _local_rows, _local_rows_stacked
 
     B, T = cfg.eval_batch_size, spec.seq_len
+    # Every timed dispatch must be DISTINCT (params never change between
+    # eval calls, unlike the train probe's) or the relay's dispatch dedup
+    # undertimes a rung: warmup takes pool[0], k=1 times pool[1..2g].
     pool = [dummy_batch(B, T, spec.n_items, spec.n_cats, seed=8000 + i)
-            for i in range(4)]
+            for i in range(2 * n_groups + 2)]
     cap = max(1, min(64, n_batches_cap))
 
     def time_ke(k):
         if k == 1:
-            np.asarray(jax.device_get(eval_step(params, pool[0])))  # warm
+            _local_rows(eval_step(params, pool[0]), B)  # warm
             t0 = time.time()
             for i in range(2 * n_groups):
-                np.asarray(jax.device_get(
-                    eval_step(params, pool[1 + i % 3])))
+                _local_rows(eval_step(params, pool[1 + i]), B)
             return (time.time() - t0) / (2 * n_groups)
         mk = lambda i: jax.tree.map(
             lambda *xs: np.stack([np.asarray(x) for x in xs]),
             *[pool[(i + j) % len(pool)] for j in range(k)])
         stacks = [mk(i) for i in range(n_groups + 1)]
-        np.asarray(jax.device_get(fused_eval(params, stacks[0])))  # warm
+        _local_rows_stacked(fused_eval(params, stacks[0]), B)  # warm
         t0 = time.time()
         for i in range(n_groups):
-            np.asarray(jax.device_get(fused_eval(params, stacks[1 + i])))
+            _local_rows_stacked(fused_eval(params, stacks[1 + i]), B)
         return (time.time() - t0) / (n_groups * k)
 
-    ladder, k, flat = {}, 1, 0
-    while k <= cap:
-        t = ladder[k] = time_ke(k)
-        prior = [ladder[kk] for kk in ladder if kk < k]
-        if prior and t > min(prior) * (1 - tol):
-            flat += 1
-            if flat >= flat_stop:
-                break
-        else:
-            flat = 0
-        k *= 2
-    best_t = min(ladder.values())
-    choice = min(kk for kk, t in ladder.items() if t <= best_t * (1 + tol))
-    if jax.process_count() > 1:
-        from jax.experimental import multihost_utils
-
-        choice = int(multihost_utils.broadcast_one_to_all(
-            np.asarray(choice, np.int32)))
+    ladder, _ = _run_ladder(time_ke, cap, tol, flat_stop)
+    choice = _ladder_choice(ladder, tol)
     log("autotuned eval_steps_per_dispatch=" + str(choice) + " (ms/batch: "
         + ", ".join(f"k={kk}:{t * 1e3:.2f}" for kk, t in ladder.items())
         + f"; cap {cap})")
@@ -744,11 +757,12 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             log(f"reusing autotuned eval_steps_per_dispatch={ke} "
                 f"from {side}")
         else:
-            n_val_batches = -(-val_loader.n_local // cfg.eval_batch_size)
+            # HOST-INVARIANT cap (ragged per-host shards would put hosts
+            # on different ladder rungs -> collective deadlock at startup)
             fused_eval = make_fused()  # the probe warms its compile cache
             ke = probe_eval_steps_per_dispatch(
                 cfg, eval_step, fused_eval, params, spec,
-                n_batches_cap=n_val_batches, log=log)
+                n_batches_cap=val_loader.epoch_batches(), log=log)
             sidecar["eval_steps_per_dispatch"] = ke
             side_dirty = True
     ke = max(1, ke)
@@ -828,6 +842,13 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             n_since += k
             if "a2a_overflow" in metrics:
                 of_pending.append(metrics["a2a_overflow"])
+                if len(of_pending) >= 256:
+                    # Quiet runs (log_every=inf — the bench/sweep tools)
+                    # must not grow a device scalar per dispatch forever;
+                    # these pulls land on long-retired dispatches, so the
+                    # fold costs no pipeline stall.
+                    overflow_steps += int(sum(float(x) for x in of_pending))
+                    of_pending.clear()
             if stop_signal:
                 mngr.save_preemption(step, params, opt_state,
                                      train_loader.state_dict())
@@ -906,6 +927,13 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             signal.signal(signal.SIGTERM, prev_sigterm)
     total_s = max(time.time() - t_run_start, 1e-9)
     goodput = max(0.0, 1.0 - nonproductive_s / total_s)
+    if of_pending:  # fold flags pending since the last log boundary so
+        # early-stop/preemption/quiet runs still report the diagnostic
+        overflow_steps += int(sum(float(x) for x in of_pending))
+        of_pending.clear()
+    if overflow_steps:
+        log(f"a2a_overflow_steps {overflow_steps} total (chronic fallback "
+            f"-> raise mesh.a2a_capacity_factor, OPERATIONS.md)")
     if step > start_step:
         log(f"goodput {100 * goodput:.1f}% (train {total_s - nonproductive_s:.1f}s, "
             f"eval+ckpt {nonproductive_s:.1f}s of {total_s:.1f}s)")

@@ -111,6 +111,33 @@ def test_loader_process_sharding():
     assert counts == 100
 
 
+def test_loader_epoch_batches_host_invariant():
+    """Every host must yield the SAME number of eval batches (each is one
+    global SPMD dispatch — a host running fewer leaves its peers blocked
+    in a collective): ragged shards pad whole batches with n_valid=0.
+    Regression for the pre-r5 one_epoch, whose batch count followed the
+    per-host n_local (n=33, P=2, B=16: host0 ran 2+1=pad? no — 17 rows ->
+    2 batches vs host1's 16 rows -> 1: deadlock shape)."""
+    arrays = make_ctr_dataset(AMAZON, 33, seed=0)
+    loaders = [DataLoader(arrays, batch_size=16, shuffle=False,
+                          process_index=p, process_count=2)
+               for p in range(2)]
+    assert loaders[0].epoch_batches() == loaders[1].epoch_batches() == 2
+    epochs = [list(l.one_epoch()) for l in loaders]
+    assert [len(e) for e in epochs] == [2, 2]
+    # host 0 holds 17 rows (16 + 1), host 1 holds 16 (16 + a 0-valid pad)
+    assert [n for _, n in epochs[0]] == [16, 1]
+    assert [n for _, n in epochs[1]] == [16, 0]
+    # padded batches are full-shape (static shapes for jit)
+    assert epochs[1][1][0].item_seq.shape == epochs[1][0][0].item_seq.shape
+    # every example scored exactly once across hosts
+    seen = []
+    for e in epochs:
+        for b, n in e:
+            seen.extend(np.asarray(b.uid[:n]).tolist())
+    assert len(seen) == 33
+
+
 def test_split_disjoint_and_complete():
     arrays = make_ctr_dataset(AMAZON, 100, seed=0)
     tr, va, te = train_val_test_split(arrays, 0.1, 0.1)

@@ -191,6 +191,22 @@ assert cfg.train.steps_per_dispatch >= 1
 assert cfg.eval_steps_per_dispatch >= 1
 print(f"proc {pid} probe_k {cfg.train.steps_per_dispatch}"
       f"/{cfg.eval_steps_per_dispatch}")
+
+# Sharded-eval probe regression (r5 review finding #1): model_parallel=2
+# with the shipped batch_over_model default routes eval through the
+# shard_map step, whose output is DATA-SHARDED across the two processes
+# — the probes' device pulls must use the production row extraction
+# (evaluate._local_rows*); a bare jax.device_get raises "spans
+# non-addressable devices" before step 1.
+cfg.train.steps_per_dispatch = 0
+cfg.eval_steps_per_dispatch = 0
+cfg.mesh.model_parallel = 2
+res_mp = train(cfg, log=lambda s: None)
+assert cfg.train.steps_per_dispatch >= 1
+assert cfg.eval_steps_per_dispatch >= 1
+assert math.isfinite(res_mp['test']['auc'])
+print(f"proc {pid} mp_probe {cfg.train.steps_per_dispatch}"
+      f"/{cfg.eval_steps_per_dispatch} auc {res_mp['test']['auc']:.10f}")
 print(f"proc {pid} OK")
 """
 
@@ -415,3 +431,8 @@ def test_two_process_mesh(tmp_path):
     ce = {ln.split()[-1] for o in outs for ln in o.splitlines()
           if "chained_eval_auc" in ln}
     assert len(ce) == 1, ce
+    # Sharded-eval (model_parallel=2, bom) probes ran and agreed on k/ke
+    # and on the final metric (r5 review finding #1 regression).
+    mp = {" ".join(ln.split()[2:]) for o in outs for ln in o.splitlines()
+          if "mp_probe" in ln}
+    assert len(mp) == 1, mp

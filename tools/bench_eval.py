@@ -120,33 +120,54 @@ def run_sweep(args):
 
 def spawn_processes(args):
     """Parent: N workers re-exec this file under jax.distributed (CPU,
-    1 virtual device per process) and rank 0's output is relayed."""
+    1 virtual device per process) and rank 0's output is relayed.
+
+    Worker output goes to FILES, not pipes: a rank whose PIPEd stderr
+    fills the 64KB buffer blocks mid-collective, wedging every other
+    rank (the parent would then sit in a sequential communicate() until
+    its timeout with N stuck processes)."""
     import subprocess
+    import tempfile
 
     import portpicker
 
     port = portpicker.pick_unused_port()
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                XLA_FLAGS="--xla_force_host_platform_device_count=1")
-    procs = [
-        subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__),
-             "--worker", str(r), "--port", str(port),
-             "--processes", str(args.processes),
-             "--config", args.config, "--ks", args.ks,
-             "--n_examples", str(args.n_examples),
-             "--repeats", str(args.repeats)]
-            + (["--streaming"] if args.streaming else []),
-            env=env, stdout=subprocess.PIPE,
-            stderr=subprocess.PIPE if r else None, text=True)
-        for r in range(args.processes)]
-    outs = [p.communicate(timeout=1800) for p in procs]
-    for r, p in enumerate(procs):
-        if p.returncode != 0:
-            raise RuntimeError(
-                f"worker {r} failed:\n{(outs[r][1] or '')[-2000:]}"
-                f"\n{outs[r][0][-2000:]}")
-    sys.stdout.write(outs[0][0])
+    with tempfile.TemporaryDirectory() as td:
+        logs = [(open(os.path.join(td, f"out{r}"), "w+"),
+                 open(os.path.join(td, f"err{r}"), "w+"))
+                for r in range(args.processes)]
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__),
+                 "--worker", str(r), "--port", str(port),
+                 "--processes", str(args.processes),
+                 "--config", args.config, "--ks", args.ks,
+                 "--n_examples", str(args.n_examples),
+                 "--repeats", str(args.repeats)]
+                + (["--streaming"] if args.streaming else []),
+                env=env, stdout=logs[r][0],
+                stderr=sys.stderr if r == 0 else logs[r][1], text=True)
+            for r in range(args.processes)]
+        try:
+            for p in procs:
+                p.wait(timeout=1800)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        def read(f):
+            f.seek(0)
+            return f.read()
+        for r, p in enumerate(procs):
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"worker {r} failed:\n{read(logs[r][1])[-2000:]}"
+                    f"\n{read(logs[r][0])[-2000:]}")
+        sys.stdout.write(read(logs[0][0]))
+        for fo, fe in logs:
+            fo.close(), fe.close()
 
 
 def main(argv=None):
