@@ -14,18 +14,23 @@ Two interchangeable modes (equivalence-tested against the dense gather):
   masked-gather ↔ scatter-add into the owning shard).
 
 - ``a2a``: the SURVEY.md §7 sort-by-owner bucketed exchange
-  (``bucketed_gather``): each shard sorts ITS OWN queries by owning shard
-  (device-side ``sort_key_val``), scatters them into an [S, C] send buffer
-  with static per-owner capacity C = ceil(ceil(N/S) * capacity_factor),
-  ``all_to_all``s the buckets to their owners, gathers owned rows locally,
-  ``all_to_all``s the answer rows back, and inverse-permutes. Duplicate ids
-  simply occupy two slots (and their cotangents scatter-add). Overflow
-  policy: if ANY shard's per-owner count exceeds C (the flag is psum'd so
-  every shard agrees), the whole lookup falls back to an exact
-  all_gather(ids) + masked-gather + psum pass for that batch — correct
-  always, slower, and a signal to raise ``mesh.a2a_capacity_factor``
-  (frequency-sorted vocabs skew owner load under contiguous row
-  ownership).
+  (``bucketed_gather``): each shard sorts ITS OWN queries by id
+  (device-side ``sort_key_val`` — full-id order groups owners
+  contiguously AND equal ids adjacently), scatters the UNIQUE ids into an
+  [S, C] send buffer with static per-owner capacity
+  C = ceil(ceil(N/S) * capacity_factor), ``all_to_all``s the buckets to
+  their owners, gathers owned rows locally, ``all_to_all``s the answer
+  rows back, and inverse-permutes. Duplicate ids SHARE their leader's
+  slot (r5 dedup): left-padding zeros and frequency-hot rows — the two
+  structural skew sources — collapse to one slot each, so C bounds the
+  per-owner UNIQUE count and the needed capacity_factor stays near the
+  uniform one even on heavily padded or hot-row batches; duplicate
+  cotangents segment-sum into the shared slot before the inverse a2a
+  (the exact transpose). Overflow policy: if ANY shard's per-owner
+  unique count exceeds C (the flag is psum'd so every shard agrees), the
+  whole lookup falls back to an exact all_gather(ids) + masked-gather +
+  psum pass for that batch — correct always, slower, and a signal to
+  raise ``mesh.a2a_capacity_factor``.
 
 Wire volume per shard, each way (derivation in ARCHITECTURE §5): the
 bucketed exchange moves ~capacity_factor * N_local * d rows where N_local
@@ -82,22 +87,40 @@ def _capacity(n_local: int, n_shards: int, factor: float) -> int:
 
 
 def _bucket_slots(ids: jax.Array, n_shards: int, rows_per: int, cap: int):
-    """Sort local ids by owning shard -> (perm, slot, overflow).
+    """Sort local ids (DEDUP'd, r5) -> (perm, slot, overflow).
 
-    perm: [N] stable sort permutation (ids_sorted = ids[perm]).
+    Sorting by the FULL id groups equal ids adjacently AND owners
+    contiguously (ownership is contiguous in id space); each run of equal
+    ids elects its first element LEADER and every duplicate SHARES the
+    leader's send-buffer slot — so capacity bounds the per-owner UNIQUE
+    count, not the raw occurrence count. This is what makes the exchange
+    robust against exactly the skew its warning is about: left-padding
+    zeros (every padded position queries id 0) and frequency-hot rows are
+    DUPLICATES, and they collapse to one slot each instead of driving the
+    bucket past capacity.
+
+    perm: [N] sort permutation (ids_sorted = ids[perm]).
     slot: [N] position of each SORTED query in the flat [S*cap] send
-    buffer (owner*cap + rank-within-owner), or S*cap when its bucket
-    overflowed capacity. overflow: scalar bool, this shard only.
+    buffer (owner*cap + unique-rank-within-owner, equal ids -> equal
+    slot), or the S*cap sentinel when its unique overflowed capacity.
+    overflow: scalar bool, this shard only.
     """
     N = ids.shape[0]
-    owner = (ids // rows_per).astype(jnp.int32)
-    owner_sorted, perm = jax.lax.sort_key_val(
-        owner, jnp.arange(N, dtype=jnp.int32))
+    ids_sorted, perm = jax.lax.sort_key_val(
+        ids, jnp.arange(N, dtype=jnp.int32))
+    owner_sorted = (ids_sorted // rows_per).astype(jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), jnp.int32),
+         (ids_sorted[1:] != ids_sorted[:-1]).astype(jnp.int32)])
+    incl = jnp.cumsum(is_first)           # leaders at positions <= i
+    ex = jnp.concatenate([jnp.zeros((1,), incl.dtype), incl])  # < p
     starts = jnp.searchsorted(owner_sorted,
                               jnp.arange(n_shards, dtype=jnp.int32))
-    rank = jnp.arange(N, dtype=jnp.int32) - starts[owner_sorted]
-    over = rank >= cap
-    slot = jnp.where(over, n_shards * cap, owner_sorted * cap + rank)
+    # unique-rank of position i's leader within its owner bucket:
+    # (global leader index) - (leaders in earlier owners)
+    urank = (incl - 1) - jnp.take(ex, jnp.take(starts, owner_sorted))
+    over = urank >= cap
+    slot = jnp.where(over, n_shards * cap, owner_sorted * cap + urank)
     return perm, slot, jnp.any(over)
 
 
@@ -161,10 +184,11 @@ def derive_capacity_factor(tables, n_shards: int, slice_sizes,
     a 1/S dynamic_slice chunk), and within-user id repetition under
     contiguous row ownership concentrates owners far beyond what i.i.d.
     draws from the pooled sample would measure — takes
-    max-owner-count / balanced-load per window, and returns ``margin`` x
-    the worst ratio (floored at ``f_min``). Deterministic (seeded),
-    host-side numpy — multi-host runs derive the identical value from the
-    identical dataset arrays.
+    max-UNIQUE-ids-per-owner / balanced-load per window (the dedup'd
+    exchange collapses duplicates, so capacity bounds unique counts), and
+    returns ``margin`` x the worst ratio (floored at ``f_min``).
+    Deterministic (seeded), host-side numpy — multi-host runs derive the
+    identical value from the identical dataset arrays.
 
     The margin covers sampling noise; a production run still has the exact
     fallback + the ``a2a_overflow`` metric if the online distribution
@@ -179,17 +203,19 @@ def derive_capacity_factor(tables, n_shards: int, slice_sizes,
         ids = ids[ids >= 0]
         if not len(ids):
             continue
-        owners = (ids // rows_per).astype(np.int64)
         for n in slice_sizes:
-            n = int(min(n, len(owners)))
+            n = int(min(n, len(ids)))
             if n < 1:
                 continue
             balanced = -(-n // n_shards)
             for _ in range(n_draws):
-                start = int(rng.integers(0, len(owners) - n + 1)) \
-                    if len(owners) > n else 0
-                sl = owners[start:start + n]
-                top = np.bincount(sl, minlength=n_shards).max()
+                start = int(rng.integers(0, len(ids) - n + 1)) \
+                    if len(ids) > n else 0
+                # UNIQUE ids per owner: the dedup'd exchange collapses
+                # duplicates (padding zeros, hot rows) to one slot each,
+                # so capacity bounds the unique count.
+                u = np.unique(ids[start:start + n])
+                top = np.bincount(u // rows_per, minlength=n_shards).max()
                 worst = max(worst, top / balanced)
     return max(f_min, margin * worst) if worst else 2.0
 
@@ -263,8 +289,12 @@ def bucketed_gather(table: jax.Array, ids: jax.Array, *, axis: str,
             g_, local_ = args
             perm, slot, _ = _bucket_slots(ids_, n_shards, rows_per, cap)
             g_sorted = jnp.take(g_, perm, axis=0)
+            # ADD, not set: duplicate queries SHARE their leader's slot
+            # (dedup'd exchange), so their cotangents segment-sum locally
+            # before riding the inverse a2a — the exact transpose of the
+            # shared-slot read.
             g_send = jnp.zeros((n_shards * cap, g_.shape[-1]), g_.dtype
-                               ).at[slot].set(g_sorted, mode="drop")
+                               ).at[slot].add(g_sorted, mode="drop")
             g_back = jax.lax.all_to_all(
                 g_send.reshape(n_shards, cap, -1), axis,
                 split_axis=0, concat_axis=0)  # [S, cap, d] at the owner

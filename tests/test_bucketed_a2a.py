@@ -309,10 +309,13 @@ def test_fused_eval_with_a2a_lookup(factory_name, bom):
 
 def _regime_batch(B, T, skew: bool, seed=0):
     """Full-mask batch with every id field redrawn: uniform over the whole
-    vocab, or (skew) confined to shard 0's rows — the frequency-skew
-    regime the capacity fallback exists for. Full masks matter: dummy
-    batches left-pad with id 0, and those padding zeros all land on owner
-    0 — enough real skew to overflow a bucket on their own."""
+    vocab, or (skew) DISTINCT ids confined to shard 0's rows — the
+    frequency-skew regime the capacity fallback exists for. Distinctness
+    matters since the r5 dedup: duplicate owner-0 ids (e.g. padding
+    zeros) collapse to ONE slot and no longer overflow a bucket, so
+    forcing the fallback needs per-owner UNIQUE load past capacity — a
+    tiled permutation of shard 0's row range makes every contiguous
+    query slice all-distinct."""
     import dataclasses
 
     from hpmn_tpu.data.schema import _ID_FIELDS
@@ -322,9 +325,14 @@ def _regime_batch(B, T, skew: bool, seed=0):
     kw = {"seq_mask": np.ones((B, T), np.float32)}
     for f in _ID_FIELDS:
         v = (N_ITEMS if "item" in f else N_CATS)
-        hi = v // S if skew else v
-        kw[f] = rng.integers(0, hi,
-                             np.asarray(getattr(b, f)).shape).astype(np.int32)
+        shape = np.asarray(getattr(b, f)).shape
+        if skew:
+            hi = v // S
+            size = int(np.prod(shape))
+            flat = np.tile(rng.permutation(hi), -(-size // hi))[:size]
+            kw[f] = flat.reshape(shape).astype(np.int32)
+        else:
+            kw[f] = rng.integers(0, v, shape).astype(np.int32)
     return to_device_arrays(dataclasses.replace(b, **kw))
 
 
