@@ -238,10 +238,27 @@ def _run_ladder(time_fn: Callable, cap: int, tol: float, flat_stop: int):
     times k = 1, 2, 4, ... <= cap via ``time_fn(k) -> seconds/step`` and
     stops once ``flat_stop`` consecutive rungs fail to beat the best prior
     time by more than ``tol`` (past the knee the curve is flat and each
-    rung costs a full compile). Returns (ladder {k: t}, flat count)."""
+    rung costs a full compile). Returns (ladder {k: t}, flat count).
+
+    Multi-host: every rung's program is a GLOBAL collective, so the
+    continue/stop decision must be identical on every host — each rung's
+    measured time is broadcast from process 0 before the flat-stop test
+    (hosts deciding from their own clocks could exit at different rungs
+    and deadlock in a dispatch the others never join; same hazard class
+    as the eval-epoch cap)."""
+    pcnt = jax.process_count()
+    if pcnt > 1:
+        import numpy as np
+
+        from jax.experimental import multihost_utils
+
+        bcast = lambda t: float(multihost_utils.broadcast_one_to_all(
+            np.asarray(t, np.float64)))
+    else:
+        bcast = lambda t: t
     ladder, k, flat = {}, 1, 0
     while k <= cap:
-        t = ladder[k] = time_fn(k)
+        t = ladder[k] = bcast(time_fn(k))
         prior = [ladder[kk] for kk in ladder if kk < k]
         if prior and t > min(prior) * (1 - tol):
             # this rung did not beat the prior best by > tol
@@ -824,6 +841,19 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
     # scalars are collected per dispatch and pulled only at log boundaries
     # (already synced there), so counting costs no extra syncs.
     of_pending, overflow_steps = [], 0
+    of_seen = False  # any a2a_overflow metric observed this run
+
+    def fold_overflow(keep_newest: bool = False) -> int:
+        """Pull pending overflow flags into the step counter. The ONE
+        accumulation implementation (three call sites). keep_newest skips
+        the most recent flag — its dispatch may still be in flight, and
+        the quiet-run cap fold must not become a pipeline sync."""
+        nonlocal overflow_steps
+        upto = len(of_pending) - 1 if keep_newest else len(of_pending)
+        if upto > 0:
+            overflow_steps += int(sum(float(x) for x in of_pending[:upto]))
+            del of_pending[:upto]
+        return overflow_steps
     k = cfg.train.steps_per_dispatch
     base_it = iter(train_loader)
     if k > 1:
@@ -842,13 +872,13 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             n_since += k
             if "a2a_overflow" in metrics:
                 of_pending.append(metrics["a2a_overflow"])
+                of_seen = True
                 if len(of_pending) >= 256:
                     # Quiet runs (log_every=inf — the bench/sweep tools)
-                    # must not grow a device scalar per dispatch forever;
-                    # these pulls land on long-retired dispatches, so the
-                    # fold costs no pipeline stall.
-                    overflow_steps += int(sum(float(x) for x in of_pending))
-                    of_pending.clear()
+                    # must not grow a device scalar per dispatch forever.
+                    # keep_newest: all but the just-dispatched flag are
+                    # long retired, so the fold costs no pipeline stall.
+                    fold_overflow(keep_newest=True)
             if stop_signal:
                 mngr.save_preemption(step, params, opt_state,
                                      train_loader.state_dict())
@@ -870,13 +900,13 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
                 dt = time.time() - t_last
                 eps = n_since * cfg.train.batch_size / dt
                 of_line = ""
-                if of_pending:
-                    overflow_steps += int(sum(float(x) for x in of_pending))
-                    of_pending.clear()
+                if of_seen:
                     # steps (not dispatches) that fell back to the exact
                     # all_gather+psum exchange — chronically nonzero means
-                    # raise mesh.a2a_capacity_factor (OPERATIONS.md)
-                    of_line = f" a2a_overflow_steps {overflow_steps}"
+                    # raise mesh.a2a_capacity_factor (OPERATIONS.md).
+                    # Gate on of_seen, not of_pending: a cap fold between
+                    # boundaries must not drop the field from the line.
+                    of_line = f" a2a_overflow_steps {fold_overflow()}"
                 log(f"step {step} loss {loss_v:.4f} "
                     f"bce {float(metrics['bce']):.4f} ex/s {eps:.1f}"
                     f"{of_line}")
@@ -927,10 +957,9 @@ def train(cfg, lookup_fn=None, gru_seq_fn=None,
             signal.signal(signal.SIGTERM, prev_sigterm)
     total_s = max(time.time() - t_run_start, 1e-9)
     goodput = max(0.0, 1.0 - nonproductive_s / total_s)
-    if of_pending:  # fold flags pending since the last log boundary so
-        # early-stop/preemption/quiet runs still report the diagnostic
-        overflow_steps += int(sum(float(x) for x in of_pending))
-        of_pending.clear()
+    # fold flags pending since the last log boundary so early-stop /
+    # preemption / quiet runs still report the diagnostic
+    fold_overflow()
     if overflow_steps:
         log(f"a2a_overflow_steps {overflow_steps} total (chronic fallback "
             f"-> raise mesh.a2a_capacity_factor, OPERATIONS.md)")

@@ -409,27 +409,35 @@ def test_overflow_counter_through_driver():
 
 def test_derive_capacity_factor():
     """Auto f (mesh.a2a_capacity_factor=0): uniform ids derive a modest
-    factor; fully-skewed ids derive ~margin*S (every query lands on one
-    owner); and the derived capacity admits the sampled slices without
-    overflow."""
+    factor; DISTINCT ids confined to one owner derive ~margin*S (every
+    unique lands on one owner); duplicate-heavy skew (all id 0 — the
+    padding regime) derives the FLOOR, because the dedup'd exchange
+    collapses duplicates and capacity bounds UNIQUE counts. The derived
+    capacity admits the sampled slices' unique loads without overflow
+    (the shipped criterion: contiguous windows, unique ids per owner)."""
     from hpmn_tpu.parallel.embedding_sharding import derive_capacity_factor
 
     rng = np.random.default_rng(0)
     rows_per = N_ITEMS // S
     uniform = rng.integers(0, N_ITEMS, size=20000)
-    skewed = rng.integers(0, rows_per, size=20000)  # all owner 0
+    distinct0 = np.tile(rng.permutation(rows_per),
+                        20000 // rows_per + 1)[:20000]
+    dupes0 = np.zeros(20000, np.int64)  # padding zeros: ONE unique
     f_u = derive_capacity_factor([(uniform, rows_per)], S, [8, 96])
-    f_s = derive_capacity_factor([(skewed, rows_per)], S, [8, 96])
-    assert f_u < f_s
-    assert f_s >= S  # one owner absorbs everything -> factor ~ margin*S
+    f_d = derive_capacity_factor([(distinct0, rows_per)], S, [8, 96])
+    f_z = derive_capacity_factor([(dupes0, rows_per)], S, [8, 96])
+    assert f_u < f_d
+    assert f_d >= S  # one owner absorbs every unique -> factor ~ margin*S
+    assert f_z == 1.1  # duplicates collapse to one slot -> the f_min floor
     assert 1.1 <= f_u <= 3.5  # modest for uniform ids at these sizes
-    # the derived capacity admits the worst sampled slice
-    for f, ids in ((f_u, uniform), (f_s, skewed)):
+    # the derived capacity admits the worst sampled slice's UNIQUE load
+    for f, ids in ((f_u, uniform), (f_d, distinct0)):
         for n in (8, 96):
             cap = _capacity(n, S, f)
             for _ in range(16):
-                sl = rng.choice(ids // rows_per, size=n)
-                assert np.bincount(sl, minlength=S).max() <= cap
+                start = int(rng.integers(0, len(ids) - n + 1))
+                u = np.unique(ids[start:start + n])
+                assert np.bincount(u // rows_per, minlength=S).max() <= cap
 
 
 def test_driver_resolves_capacity_factor():

@@ -116,8 +116,8 @@ def test_loader_epoch_batches_host_invariant():
     global SPMD dispatch — a host running fewer leaves its peers blocked
     in a collective): ragged shards pad whole batches with n_valid=0.
     Regression for the pre-r5 one_epoch, whose batch count followed the
-    per-host n_local (n=33, P=2, B=16: host0 ran 2+1=pad? no — 17 rows ->
-    2 batches vs host1's 16 rows -> 1: deadlock shape)."""
+    per-host n_local (n=33, P=2, B=16: host0's 17 rows -> 2 batches vs
+    host1's 16 rows -> 1 batch — the deadlock shape)."""
     arrays = make_ctr_dataset(AMAZON, 33, seed=0)
     loaders = [DataLoader(arrays, batch_size=16, shuffle=False,
                           process_index=p, process_count=2)

@@ -150,16 +150,31 @@ def spawn_processes(args):
                 env=env, stdout=logs[r][0],
                 stderr=sys.stderr if r == 0 else logs[r][1], text=True)
             for r in range(args.processes)]
+        def read(f):
+            f.seek(0)
+            return f.read()
+
         try:
             for p in procs:
                 p.wait(timeout=1800)
+        except subprocess.TimeoutExpired:
+            # Report the wedged ranks' log tails BEFORE the tempdir (and
+            # with it every worker log) is cleaned up — the whole point of
+            # logging to files was diagnosing this scenario.
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+                p.wait()
+            tails = "\n".join(
+                f"-- worker {r} (stdout) --\n{read(logs[r][0])[-1000:]}\n"
+                f"-- worker {r} (stderr) --\n{read(logs[r][1])[-1000:]}"
+                for r in range(args.processes))
+            raise RuntimeError(f"worker timeout (1800s); logs:\n{tails}")
         finally:
             for p in procs:
                 if p.poll() is None:
                     p.kill()
-        def read(f):
-            f.seek(0)
-            return f.read()
+                    p.wait()
         for r, p in enumerate(procs):
             if p.returncode != 0:
                 raise RuntimeError(
