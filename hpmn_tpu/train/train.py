@@ -336,9 +336,18 @@ def probe_steps_per_dispatch(cfg, build_train, params, opt_state, spec,
         place = lambda b, stacked: jax.tree.map(jax.device_put, b)
     cap = max(1, min(64, cfg.train.eval_every, cfg.train.max_steps))
 
+    # Peak-HBM bound for the placed probe pool (the k=64 rung would
+    # otherwise hold (n_stacks+1) x 64 batches at once — ~1.2 GB at xlong
+    # shapes, a transient startup OOM risk the steady-state loop, which
+    # keeps ONE stack in flight, never pays). Fewer distinct stacks cannot
+    # trip the relay's dispatch dedup here: params/opt advance every
+    # dispatch, so requests differ even on a reused stack; extra repeats
+    # keep the dispatch count per rung constant.
+    budget = 1 << 28  # 256 MB of placed batch stacks per rung
+
     def time_k(k):
         step = build_train(k)
-        # Pre-place every stack BEFORE the timed region: the training loop
+        # Stacks are placed BEFORE the timed region: the training loop
         # overlaps host->device transfers with compute (prefetch_to_device),
         # but a probe-loop device_put is synchronous over relayed links —
         # timing it would charge each dispatch k x the wire bytes and
@@ -347,18 +356,24 @@ def probe_steps_per_dispatch(cfg, build_train, params, opt_state, spec,
             mk = lambda i: jax.tree.map(
                 lambda *xs: np.stack([np.asarray(x) for x in xs]),
                 *[pool[(i + j) % len(pool)] for j in range(k)])
-            stacks = [place(mk(i), True) for i in range(n_stacks + 1)]
         else:
-            stacks = [place(pool[i], False) for i in range(n_stacks + 1)]
+            mk = lambda i: pool[i % len(pool)]
+        stack_bytes = k * sum(np.asarray(x).nbytes
+                              for x in jax.tree.leaves(pool[0]))
+        n_use = max(1, min(n_stacks, budget // max(1, stack_bytes)))
+        reps = repeats * -(-n_stacks // n_use)
         p, o = jax.tree.map(jnp.copy, (params, opt_state))
-        p, o, m = step(p, o, stacks[0])  # compile + warm
+        warm = place(mk(0), k > 1)
+        p, o, m = step(p, o, warm)  # compile + warm
         float(m["loss"])
+        del warm  # freed before the timed stacks are placed
+        stacks = [place(mk(1 + i), k > 1) for i in range(n_use)]
         t0 = time.time()
-        for r in range(repeats):
-            for i in range(n_stacks):
-                p, o, m = step(p, o, stacks[1 + i])
+        for r in range(reps):
+            for i in range(n_use):
+                p, o, m = step(p, o, stacks[i])
         float(m["loss"])
-        return (time.time() - t0) / (repeats * n_stacks * k)
+        return (time.time() - t0) / (reps * n_use * k)
 
     # build_train(k) mutates cfg.train.steps_per_dispatch as a side effect;
     # restore it even when a rung raises mid-ladder, so the caller never
@@ -449,8 +464,15 @@ def resolve_capacity_factor(cfg, arrays, spec, n_model: int, bom: bool,
     fixed constant — frequency-sorted real vocabs skew per-owner load far
     beyond the uniform-synthetic 2.0 (VERDICT r4 weak #2). Samples item and
     category ids from the training arrays at the per-shard query sizes the
-    production step will issue. Mutates cfg in place; no-op for explicit
-    factors or non-a2a modes."""
+    production step will issue — INCLUDING the eval step's
+    (``cfg.eval_batch_size`` is typically smaller than the train batch,
+    and relative per-owner imbalance grows as the slice shrinks, so the
+    eval sizes often bind; deriving over both keeps the smaller eval
+    exchanges off the chronic-fallback path even though the runtime
+    ``a2a_overflow`` counter only watches train dispatches — both draw
+    from the same id distribution, so post-derivation drift shows up
+    there). Mutates cfg in place; no-op for explicit factors or non-a2a
+    modes."""
     if cfg.mesh.embedding_mode != "a2a" or \
             float(cfg.mesh.a2a_capacity_factor) != 0.0:
         return
@@ -461,14 +483,17 @@ def resolve_capacity_factor(cfg, arrays, spec, n_model: int, bom: bool,
 
     n_dev = max(1, len(jax.devices()))
     n_data = max(1, n_dev // (n_model * max(1, cfg.mesh.seq_parallel)))
-    B_glob = cfg.train.batch_size * jax.process_count()
     T = spec.seq_len
-    if bom:  # ids arrive shard-local: per-shard N = examples-per-shard x T
-        ex = max(1, B_glob // (n_data * n_model))
-        sizes = [ex, ex * T]
-    else:  # replicated-ids contract: each shard takes a 1/S chunk
-        ex = max(1, B_glob // n_data)
-        sizes = [-(-ex // n_model), -(-ex * T // n_model)]
+    sizes = []
+    for B in (cfg.train.batch_size, cfg.eval_batch_size):
+        B_glob = B * jax.process_count()
+        if bom:  # ids arrive shard-local: per-shard N = examples/shard x T
+            ex = max(1, B_glob // (n_data * n_model))
+            sizes += [ex, ex * T]
+        else:  # replicated-ids contract: each shard takes a 1/S chunk
+            ex = max(1, B_glob // n_data)
+            sizes += [-(-ex // n_model), -(-ex * T // n_model)]
+    sizes = sorted(set(sizes))
     # Representative samples (<= ~2k example rows keeps memmaps cheap).
     rows = min(2000, len(arrays["target_item"]))
     samples = []

@@ -462,3 +462,33 @@ def test_driver_resolves_capacity_factor():
     train(cfg, log=logs.append)
     assert any("derived a2a_capacity_factor=" in s for s in logs), logs
     assert float(cfg.mesh.a2a_capacity_factor) >= 1.1
+
+
+def test_resolve_capacity_factor_covers_eval_slices():
+    """The derivation must admit the EVAL step's per-shard query sizes too
+    (review r5): eval_batch_size is typically smaller than the train
+    batch, relative per-owner imbalance grows as the slice shrinks, and
+    eval's overflow flag is not surfaced at runtime — so a factor derived
+    from train sizes alone could leave every eval exchange on the chronic
+    all_gather+psum fallback invisibly."""
+    from hpmn_tpu.data.synthetic import SPECS, make_ctr_dataset
+    from hpmn_tpu.train.train import resolve_capacity_factor
+
+    cfg = get_config("amazon_hpmn")
+    cfg.train.batch_size = 64
+    cfg.eval_batch_size = 16
+    cfg.mesh.model_parallel = S
+    cfg.mesh.embedding_mode = "a2a"
+    cfg.mesh.a2a_capacity_factor = 0.0
+    spec = SPECS[cfg.dataset]
+    arrays = make_ctr_dataset(spec, 256, seed=0)
+    logs = []
+    resolve_capacity_factor(cfg, arrays, spec, n_model=S, bom=True,
+                            log=logs.append)
+    line = next(s for s in logs if "slice sizes" in s)
+    n_dev = len(jax.devices())
+    n_data = max(1, n_dev // S)
+    for B in (64, 16):  # train AND eval per-shard sizes in the derivation
+        ex = max(1, B // (n_data * S))
+        assert f"{max(1, ex)}" in line.split("slice sizes")[1], line
+    assert float(cfg.mesh.a2a_capacity_factor) >= 1.1

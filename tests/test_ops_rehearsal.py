@@ -44,6 +44,7 @@ def test_full_deployment_drill(tmp_path):
         [sys.executable, "-u", "-m", "hpmn_tpu.train.train",
          "--config", "taobao_hpmn", "--set", f"data_dir={data_dir}",
          "train.batch_size=8", "train.steps_per_dispatch=1",
+         "eval_steps_per_dispatch=1",
          "train.max_steps=8", "train.eval_every=4",
          "train.log_every=1000000", "mesh.enable=False",
          f"train.ckpt_dir={ckpt}", "eval_batch_size=16"],
@@ -131,6 +132,7 @@ def test_bst_deployment_drill(tmp_path):
         [sys.executable, "-u", "-m", "hpmn_tpu.train.train",
          "--config", "taobao_bst", "--set", f"data_dir={data_dir}",
          "train.batch_size=8", "train.steps_per_dispatch=1",
+         "eval_steps_per_dispatch=1",
          "train.max_steps=6", "train.eval_every=3",
          "train.log_every=1000000", "mesh.enable=False",
          f"train.ckpt_dir={ckpt}", "eval_batch_size=16"],
@@ -223,6 +225,7 @@ def test_protocol_family_deployment_drill(tmp_path):
          "--config", "taobao_hpmn", "--set", "model.name=gru4rec",
          f"data_dir={data_dir}",
          "train.batch_size=8", "train.steps_per_dispatch=1",
+         "eval_steps_per_dispatch=1",
          "train.max_steps=6", "train.eval_every=3",
          "train.log_every=1000000", "mesh.enable=False",
          f"train.ckpt_dir={ckpt}", "eval_batch_size=16"],

@@ -14,8 +14,10 @@ link, in three legs:
            preempted run without a ckpt-dir sidecar pays).
   pinned — knees pinned explicitly, warm cache: the no-probe floor.
 
-One JSON line: wall seconds from train() entry to the first training
-step for each leg, plus the probe lines' own timestamps.
+One JSON line: wall seconds from train() entry to the FIRST training
+dispatch completing (probes + compiles + the first fused step, not the
+rest of the --steps run) for each leg, plus the probe lines' own
+timestamps.
 """
 
 import argparse
@@ -38,7 +40,12 @@ def timed_run(config, cache_dir, auto, steps):
     cfg.train.compilation_cache_dir = cache_dir
     cfg.train.max_steps = steps
     cfg.train.eval_every = steps
-    cfg.train.log_every = steps
+    # log_every=1 logs at EVERY dispatch boundary, so the first "step "
+    # line lands right after the first fused dispatch completes — the
+    # startup cost this tool measures. (log_every=steps would defer the
+    # first line past ALL --steps training steps, folding the whole
+    # training run into "to_first_step_s".)
+    cfg.train.log_every = 1
     cfg.train.early_stop_patience = 10 ** 9
     if not auto:
         cfg.train.steps_per_dispatch = MEASURED_DISPATCH_KNEES.get(
